@@ -1,0 +1,195 @@
+"""Pairwise string-similarity features (the heart of the reference pipeline).
+
+The reference computes token-set Jaccard, Levenshtein, Jaro-Winkler and
+TF-IDF cosine per labeled/candidate pair with pandas/sklearn on one node.
+Here: Jaccard and Levenshtein are Catalyst built-ins (JVM, whole-stage
+codegen); Jaro-Winkler and sparse-cosine have no Spark built-in, so they run
+in Arrow-batched scalar pandas UDFs (the only Python on the hot path — no
+per-row Python UDFs, per the north rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# F1: token-set Jaccard — pure built-ins, codegen'd.
+# --------------------------------------------------------------------------
+
+
+def token_jaccard(tokens_l: Column, tokens_r: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over (already-distinct) token arrays; 0.0 on empty."""
+    inter = F.size(F.array_intersect(tokens_l, tokens_r))
+    union = F.size(F.array_union(tokens_l, tokens_r))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# F2: Levenshtein similarity — built-in edit distance normalized to [0,1].
+# --------------------------------------------------------------------------
+
+
+def levenshtein_sim(a: Column, b: Column) -> Column:
+    """1 - lev(a,b)/max(len); both-empty => 1.0; null-safe => 0.0."""
+    denom = F.greatest(F.length(a), F.length(b))
+    sim = F.when(denom > 0, 1.0 - F.levenshtein(a, b).cast("double") / denom).otherwise(
+        F.lit(1.0)
+    )
+    return F.coalesce(sim, F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# F3: Jaro-Winkler — standard definition (p=0.1, max prefix 4, no boost
+# threshold, matching DuckDB's jaro_winkler_similarity so the DuckDB oracle
+# can differentially check it). Python implementation executed over Arrow
+# batches in a scalar pandas UDF.
+# --------------------------------------------------------------------------
+
+
+def jaro(s: str, t: str) -> float:
+    ls, lt = len(s), len(t)
+    if ls == 0 and lt == 0:
+        return 1.0
+    if ls == 0 or lt == 0:
+        return 0.0
+    window = max(ls, lt) // 2 - 1
+    if window < 0:
+        window = 0
+    t_taken = [False] * lt
+    matches = 0
+    s_matched = []
+    for i, cs in enumerate(s):
+        lo = max(0, i - window)
+        hi = min(lt, i + window + 1)
+        for j in range(lo, hi):
+            if not t_taken[j] and t[j] == cs:
+                t_taken[j] = True
+                matches += 1
+                s_matched.append(cs)
+                break
+    if matches == 0:
+        return 0.0
+    t_matched = [t[j] for j in range(lt) if t_taken[j]]
+    transpositions = sum(a != b for a, b in zip(s_matched, t_matched)) // 2
+    m = float(matches)
+    return (m / ls + m / lt + (m - transpositions) / m) / 3.0
+
+
+def jaro_winkler(s: str, t: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(s, t)
+    prefix = 0
+    for a, b in zip(s[:max_prefix], t[:max_prefix]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.zeros(len(a))
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    for i in range(len(a)):
+        x, y = av[i], bv[i]
+        out[i] = jaro_winkler(x, y) if (x is not None and y is not None) else 0.0
+    return pd.Series(out)
+
+
+# --------------------------------------------------------------------------
+# F4: TF-IDF cosine.
+# Fit: document frequency by DataFrame aggregation (distributed, one shuffle)
+#   -> idf(token) = ln((N+1)/(df+1)) + 1  (smoothed, sklearn-style).
+# Vectors: per record, sorted (token-hash int64, l2-normalized weight) arrays
+#   built with built-ins only.
+# Score: sparse dot product per pair in an Arrow-batched pandas UDF.
+# --------------------------------------------------------------------------
+
+
+def fit_idf(offers: DataFrame, id_col: str = "record_id", tokens_col: str = "tokens") -> DataFrame:
+    """Return (token string, idf double). Binary tf over distinct token sets."""
+    n_docs = offers.count()
+    df_tok = (
+        offers.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return df_tok.select(
+        "token",
+        (F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+
+
+def with_tfidf_vector(
+    offers: DataFrame,
+    idf: DataFrame,
+    id_col: str = "record_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Attach sorted sparse tf-idf vectors: tfidf_idx array<bigint>,
+    tfidf_val array<double> (L2-normalized). Tokens missing from the idf
+    table (unseen at fit time) are dropped. Built-ins only."""
+    tok = offers.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    weighted = tok.join(idf, "token")  # inner: drops unseen tokens
+    vec = (
+        weighted.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.xxhash64("token").alias("h"), F.col("idf").alias("w")))
+            ).alias("hw")
+        )
+        .select(
+            id_col,
+            F.col("hw.h").alias("tfidf_idx"),
+            F.col("hw.w").alias("_raw_val"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate("_raw_val", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return vec.select(
+        id_col,
+        "tfidf_idx",
+        F.transform("_raw_val", lambda x: x / norm).alias("tfidf_val"),
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def sparse_cosine_udf(
+    idx_l: pd.Series, val_l: pd.Series, idx_r: pd.Series, val_r: pd.Series
+) -> pd.Series:
+    """Dot product of two sorted sparse L2-normalized vectors per row."""
+    out = np.zeros(len(idx_l))
+    il, vl = idx_l.to_numpy(dtype=object), val_l.to_numpy(dtype=object)
+    ir, vr = idx_r.to_numpy(dtype=object), val_r.to_numpy(dtype=object)
+    for i in range(len(out)):
+        a, b = il[i], ir[i]
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            continue
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
+        _, ia, ib = np.intersect1d(a, b, assume_unique=True, return_indices=True)
+        if len(ia):
+            wa = np.asarray(vl[i], dtype=np.float64)[ia]
+            wb = np.asarray(vr[i], dtype=np.float64)[ib]
+            out[i] = float(np.dot(wa, wb))
+    return pd.Series(out)
+
+
+# --------------------------------------------------------------------------
+# F9/F10: exact-equality flags and numeric closeness — built-ins.
+# --------------------------------------------------------------------------
+
+
+def eq_flag(a: Column, b: Column) -> Column:
+    return F.when(a.isNotNull() & b.isNotNull() & (a == b), 1.0).otherwise(0.0)
+
+
+def relative_closeness(a: Column, b: Column) -> Column:
+    """1 - |a-b|/greatest(|a|,|b|); 0.0 when either side is null."""
+    denom = F.greatest(F.abs(a), F.abs(b))
+    sim = F.when(denom > 0, 1.0 - F.abs(a - b) / denom).otherwise(F.lit(1.0))
+    return F.coalesce(sim, F.lit(0.0))

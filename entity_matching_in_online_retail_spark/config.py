@@ -15,9 +15,12 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class BlockingConfig:
     # MinHash/LSH: k = bands * rows signature length; band id is the block key.
+    # b=32 x r=2 puts the S-curve threshold near J~0.17 with catch>=0.996 at
+    # J=0.4 — sized to the corpus noise tier (same-entity pairs bottom out
+    # around token-Jaccard 0.4); candidate explosion is bounded by block_cap.
     minhash_k: int = 64
-    lsh_bands: int = 16
-    lsh_rows: int = 4
+    lsh_bands: int = 32
+    lsh_rows: int = 2
     # Hash seeds: xxhash64(token, seed) for seed in range(minhash_k).
     # Secondary cheap blocker: first N tokens (sorted) of the normalized title.
     prefix_tokens: int = 2

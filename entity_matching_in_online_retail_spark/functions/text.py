@@ -91,7 +91,7 @@ def parse_brand(norm_col: Column) -> Column:
 
 
 def parse_price(text_col: Column) -> Column:
-    return F.regexp_extract(text_col, r"price (\d+(?:\.\d+)?)", 1).cast("double")
+    return F.regexp_extract(text_col, r"price (\d+(?:\.\d+)?)", 1).try_cast("double")
 
 
 # --------------------------------------------------------------------------

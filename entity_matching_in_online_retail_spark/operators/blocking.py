@@ -42,6 +42,18 @@ def prefix_block_keys(
     ).where(F.length("block_key") > 3)
 
 
+def leading_token_block_keys(
+    offers: DataFrame, id_col: str = "record_id"
+) -> DataFrame:
+    """'bm:<tok1> <tok2>' from the leading tokens of the normalized text
+    (brand+model position in product-offer text) — catches heavily-perturbed
+    pairs whose head survived intact."""
+    key = F.concat_ws(" ", F.slice(F.split("norm_text", " "), 1, 2))
+    return offers.select(
+        F.col(id_col), F.concat(F.lit("bm:"), key).alias("block_key")
+    ).where(F.length("block_key") > 3)
+
+
 def domain_block_keys(offers: DataFrame, id_col: str = "record_id") -> DataFrame:
     """'dm:<domain>:<first sorted token>' — normalized-domain blocker."""
     key = F.concat_ws(
@@ -67,6 +79,7 @@ def all_block_keys(
     """Union of all blockers: (record_id, block_key)."""
     return (
         prefix_block_keys(offers, cfg, id_col)
+        .unionByName(leading_token_block_keys(offers, id_col))
         .unionByName(domain_block_keys(offers, id_col))
         .unionByName(minhash_block_keys(offers, cfg, id_col))
     )

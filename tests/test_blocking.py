@@ -1,0 +1,89 @@
+"""Blocking: MinHash property, LSH band collision, cap, salted-join
+equivalence (J7 vs plain J1 must produce the same pair set)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from entity_matching_in_online_retail_spark.config import BlockingConfig
+from entity_matching_in_online_retail_spark.functions import hashing as H
+from entity_matching_in_online_retail_spark.operators import blocking as B
+
+
+def test_minhash_identical_sets_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["c", "b", "a"]), (3, ["x", "y"])],
+        "record_id long, tokens array<string>",
+    )
+    sigs = {r["record_id"]: r["sig"] for r in H.minhash_signature(df, k=16).collect()}
+    assert sigs[1] == sigs[2]  # order-insensitive
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_agreement_estimates_jaccard(spark):
+    """E[fraction of agreeing signature positions] == Jaccard."""
+    a = [f"t{i}" for i in range(0, 60)]
+    b = [f"t{i}" for i in range(30, 90)]  # |A∩B|=30, |A∪B|=90 → J=1/3
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "record_id long, tokens array<string>"
+    )
+    sigs = {r["record_id"]: r["sig"] for r in H.minhash_signature(df, k=128).collect()}
+    agree = np.mean([x == y for x, y in zip(sigs[1], sigs[2])])
+    assert abs(agree - 1 / 3) < 0.12  # 128 hashes → se ≈ 0.04
+
+
+def test_lsh_band_count(spark):
+    df = spark.createDataFrame([(1, ["a", "b"])], "record_id long, tokens array<string>")
+    sig = H.minhash_signature(df, k=64)
+    keys = H.lsh_band_keys(sig, bands=16, rows=4)
+    assert keys.count() == 16
+    assert keys.select("block_key").distinct().count() == 16
+
+
+def test_cap_blocks(spark):
+    cfg = BlockingConfig(block_cap=3)
+    blocks = spark.createDataFrame(
+        [("k", i) for i in range(10)] + [("k2", 1)], "block_key string, record_id long"
+    )
+    capped = B.cap_blocks(blocks, cfg)
+    got = sorted(r["record_id"] for r in capped.where(F.col("block_key") == "k").collect())
+    assert got == [0, 1, 2]  # smallest ids, deterministic
+    assert capped.where(F.col("block_key") == "k2").count() == 1
+
+
+def test_salted_pairs_equal_plain_pairs(spark):
+    """J7 equivalence: salted self-join on hot blocks produces exactly the
+    pair set of the naive self-join — no pair lost, none duplicated."""
+    rows = [("hot", i) for i in range(40)] + [("cold", i) for i in range(100, 105)]
+    blocks = spark.createDataFrame(rows, "block_key string, record_id long")
+    cfg = BlockingConfig(salt_threshold=10, salt_buckets=4, block_cap=1000)
+    got = B.candidate_pairs(blocks, cfg)
+
+    naive = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("id_l"), F.col("r.record_id").alias("id_r")
+        )
+        .distinct()
+    )
+    assert got.count() == naive.count()
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_blocking_recall_on_tiny_corpus(spark, tiny_spark):
+    """Candidate pairs must cover ~all labeled positives (blocking recall)."""
+    from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
+    from entity_matching_in_online_retail_spark.operators.normalize import normalize_web_pages
+    from entity_matching_in_online_retail_spark.plans import evaluate as EV
+
+    pages, labeled, _ = tiny_spark
+    offers = normalize_web_pages(pages, lang="en", use_html=True).cache()
+    keys = B.all_block_keys(offers, DEFAULT_CONFIG.blocking)
+    capped = B.cap_blocks(keys, DEFAULT_CONFIG.blocking)
+    pairs = B.candidate_pairs(capped, DEFAULT_CONFIG.blocking)
+    pos = EV.labeled_pairs_to_ids(labeled, offers).where(F.col("label") == 1)
+    n_pos = pos.count()
+    covered = pos.join(pairs, ["id_l", "id_r"], "left_semi").count()
+    assert covered / n_pos >= 0.98

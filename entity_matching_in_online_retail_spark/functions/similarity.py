@@ -79,8 +79,16 @@ def jaro(s: str, t: str) -> float:
     return (m / ls + m / lt + (m - transpositions) / m) / 3.0
 
 
-def jaro_winkler(s: str, t: str, p: float = 0.1, max_prefix: int = 4) -> float:
+def jaro_winkler(
+    s: str, t: str, p: float = 0.1, max_prefix: int = 4, boost_threshold: float = 0.7
+) -> float:
+    """Winkler's original formulation: the common-prefix boost applies only
+    when the Jaro similarity exceeds `boost_threshold` (0.7) — the same
+    variant DuckDB's jaro_winkler_similarity implements, which keeps this
+    feature differentially checkable against the SQL oracle."""
     j = jaro(s, t)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s[:max_prefix], t[:max_prefix]):
         if a != b:

@@ -1,0 +1,132 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths:
+  - brute-force cosine top-k: broadcast the (small) query set against the
+    corpus, exact cosine with built-in higher-order functions (zip_with +
+    aggregate — JVM-side, no Python), per-query top-k via window. This is the
+    exact baseline and the verifier for the approximate path.
+  - random-hyperplane LSH: deterministic pseudo-random hyperplanes (seeded
+    numpy, folded into the plan as literals), sign-bit bucket per table,
+    candidates = bucket collisions in any of L tables, exact cosine re-rank.
+    At 100 TB the bucket join replaces the cross join: cost is O(collisions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+ANN_SEED = 42
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _hyperplanes(n_planes: int, dims: int, seed: int = ANN_SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dims))
+
+
+def with_hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 12,
+    dims: int = 64,
+    seed: int = ANN_SEED,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Attach a sign-bit LSH bucket id. Hyperplane coefficients are plan
+    literals (constant-folded; nothing broadcast at runtime)."""
+    planes = _hyperplanes(n_planes, dims, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit.cast("long"), i)
+    return df.withColumn(bucket_col, bucket)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k per query.
+
+    The query side is broadcast (must be the small side); the corpus streams
+    through once. rank ties broken by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    planes_per_table: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any of L
+    independent hyperplane tables; exact cosine re-rank of candidates only."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    cands = None
+    for t in range(n_tables):
+        qb = with_hyperplane_bucket(q, "_qv", planes_per_table, dims, seed=ANN_SEED + t)
+        cb = with_hyperplane_bucket(c, "_cv", planes_per_table, dims, seed=ANN_SEED + t)
+        hits = qb.join(cb, "bucket").select("query_id", "neighbor_id")
+        cands = hits if cands is None else cands.unionByName(hits)
+    cands = cands.where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,181 @@
+"""Corpus deduplication operators (training-data-pipeline surface).
+
+Exact dedup, MinHash+LSH near-dup, SimHash near-dup, and character-n-gram
+Jaccard near-dup — all as declarative DataFrame dataflows over a
+`(doc_id, text)`-shaped table. Scale notes per operator inline; every
+candidate-generation step is hash-bucketed (no all-pairs comparison
+anywhere), so each scales as O(candidates), not O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions import hashing as H
+from ..functions import similarity as S
+from ..functions import text as TX
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: one representative row per identical content.
+# groupBy on a 128-bit content hash; representative = min doc_id
+# (deterministic, unlike dropDuplicates). One shuffle, map-side partial agg.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    w = W.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    """(content_hash, n_dups, keep_id) for groups with >1 identical copies."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character shingles (for n-gram Jaccard and shingle-MinHash dedup).
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(norm_col: Column, n: int = 5) -> Column:
+    """Distinct overlapping character n-grams of an already-normalized string.
+    Built-ins only: transform over a position sequence + substring."""
+    usable = F.greatest(F.length(norm_col) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), usable)
+    return F.when(
+        usable > 0,
+        F.array_distinct(F.transform(idx, lambda i: norm_col.substr(i, F.lit(n)))),
+    ).otherwise(F.array(norm_col))
+
+
+def ngram_jaccard(a_norm: Column, b_norm: Column, n: int = 3) -> Column:
+    """Character n-gram Jaccard between two normalized strings (built-ins)."""
+    return S.token_jaccard(char_shingles(a_norm, n), char_shingles(b_norm, n))
+
+
+# ---------------------------------------------------------------------------
+# MinHash near-dup: shingle/tokenize -> minhash -> LSH bands -> bucket join
+# -> exact Jaccard verification >= threshold. The verification join fetches
+# token arrays for candidates only.
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.8,
+    use_shingles: bool = False,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id_l, id_r, jaccard) for pairs with token/shingle Jaccard >= threshold."""
+    norm = TX.normalize_text(F.col(text_col), with_nfkc=False)
+    toks = char_shingles(norm, shingle_n) if use_shingles else TX.tokens(norm)
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    sig = H.minhash_signature(base, "_id", "_toks", k)
+    keys = H.lsh_band_keys(sig, bands, rows, "_id")
+    l = keys.select(F.col("block_key"), F.col("_id").alias("id_l"))
+    r = keys.select(F.col("block_key"), F.col("_id").alias("id_r"))
+    cand = (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    tl = base.select(F.col("_id").alias("id_l"), F.col("_toks").alias("_tl"))
+    tr = base.select(F.col("_id").alias("id_r"), F.col("_toks").alias("_tr"))
+    verified = (
+        cand.join(tl, "id_l")
+        .join(tr, "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            S.token_jaccard(F.col("_tl"), F.col("_tr")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 64-bit simhash; candidates share at least one of 4
+# 16-bit chunks (any pair within Hamming distance <= 3 shares a chunk by
+# pigeonhole); verify bit_count(xor) <= max_hamming. All built-ins.
+# ---------------------------------------------------------------------------
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    norm = TX.normalize_text(F.col(text_col), with_nfkc=False)
+    base = df.select(
+        F.col(id_col).alias("_id"), H.simhash64(TX.tokens(norm)).alias("_sh")
+    )
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.shiftright(F.col("_sh"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+            for i in range(4)
+        ]
+    )
+    keys = base.select("_id", "_sh", F.explode(chunks).alias("chunk"))
+    l = keys.select("chunk", F.col("_id").alias("id_l"), F.col("_sh").alias("sh_l"))
+    r = keys.select("chunk", F.col("_id").alias("id_r"), F.col("_sh").alias("sh_r"))
+    return (
+        l.join(r, "chunk")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", H.hamming64(F.col("sh_l"), F.col("sh_r")).alias("hamming"))
+        .dropDuplicates(["id_l", "id_r"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: cosine >= threshold via random-hyperplane LSH buckets
+# (see ann.py for the primitives); exact cosine verification inside buckets.
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dims: int = 64,
+) -> DataFrame:
+    from . import ann
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bucketed = ann.with_hyperplane_bucket(base, "_v", n_planes=n_planes, dims=dims)
+    l = bucketed.select("bucket", F.col("_id").alias("id_l"), F.col("_v").alias("v_l"))
+    r = bucketed.select("bucket", F.col("_id").alias("id_r"), F.col("_v").alias("v_r"))
+    return (
+        l.join(r, "bucket")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", ann.cosine_sim(F.col("v_l"), F.col("v_r")).alias("cosine"))
+        .dropDuplicates(["id_l", "id_r"])
+        .where(F.col("cosine") >= threshold)
+    )

@@ -46,6 +46,9 @@ class ScoringConfig:
     )
     # Match threshold on the calibrated classifier probability.
     threshold: float = 0.5
+    # Cheap-feature cascade gate: candidate pairs with token Jaccard below
+    # this are dropped before the Python-side features (certain non-matches).
+    gate_jaccard: float = 0.15
     # TF-IDF hashing dimensionality for the cosine feature.
     tfidf_min_df: int = 1
 

@@ -188,6 +188,72 @@ def sparse_cosine_udf(
 
 
 # --------------------------------------------------------------------------
+# Fused pair scorer: ONE Arrow round trip for both Python-side features
+# (Jaro-Winkler + sparse cosine). Within a batch, repeated string pairs
+# (common: same-entity members share titles) are computed once via a
+# factorized cache.
+# --------------------------------------------------------------------------
+
+
+_PAIR_SCORES_SCHEMA = T.StructType(
+    [
+        T.StructField("jw_sim", T.DoubleType()),
+        T.StructField("tfidf_cos", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_PAIR_SCORES_SCHEMA)
+def pair_scores_udf(
+    a: pd.Series,
+    b: pd.Series,
+    idx_l: pd.Series,
+    val_l: pd.Series,
+    idx_r: pd.Series,
+    val_r: pd.Series,
+) -> pd.DataFrame:
+    n = len(a)
+    jw = np.zeros(n)
+    cache: dict[tuple, float] = {}
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    for i in range(n):
+        x, y = av[i], bv[i]
+        if x is None or y is None:
+            continue
+        key = (x, y)
+        v = cache.get(key)
+        if v is None:
+            v = jaro_winkler(x, y)
+            cache[key] = v
+        jw[i] = v
+
+    cos = np.zeros(n)
+    il, vl = idx_l.to_numpy(dtype=object), val_l.to_numpy(dtype=object)
+    ir, vr = idx_r.to_numpy(dtype=object), val_r.to_numpy(dtype=object)
+    for i in range(n):
+        ai, bi = il[i], ir[i]
+        if ai is None or bi is None or len(ai) == 0 or len(bi) == 0:
+            continue
+        ai = np.asarray(ai, dtype=np.int64)
+        bi = np.asarray(bi, dtype=np.int64)
+        # both sides sorted (built upstream with sort_array): searchsorted
+        # membership test beats intersect1d's concat+argsort
+        if len(ai) > len(bi):
+            ai, bi = bi, ai
+            wa_all = np.asarray(vr[i], dtype=np.float64)
+            wb_all = np.asarray(vl[i], dtype=np.float64)
+        else:
+            wa_all = np.asarray(vl[i], dtype=np.float64)
+            wb_all = np.asarray(vr[i], dtype=np.float64)
+        pos = np.searchsorted(bi, ai)
+        pos[pos >= len(bi)] = len(bi) - 1
+        hit = bi[pos] == ai
+        if hit.any():
+            cos[i] = float(np.dot(wa_all[hit], wb_all[pos[hit]]))
+    return pd.DataFrame({"jw_sim": jw, "tfidf_cos": cos})
+
+
+# --------------------------------------------------------------------------
 # F9/F10: exact-equality flags and numeric closeness — built-ins.
 # --------------------------------------------------------------------------
 

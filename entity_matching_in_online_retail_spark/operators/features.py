@@ -31,23 +31,58 @@ def offers_with_vectors(offers: DataFrame, idf: DataFrame) -> DataFrame:
     ).join(vec, "record_id", "left")
 
 
-def pair_features(pairs: DataFrame, attrs: DataFrame) -> DataFrame:
-    """(id_l, id_r) -> feature columns. attrs = offers_with_vectors output."""
+def pair_features(
+    pairs: DataFrame, attrs: DataFrame, gate_jaccard: float | None = None
+) -> DataFrame:
+    """(id_l, id_r) -> feature columns. attrs = offers_with_vectors output.
+
+    gate_jaccard: cheap-feature cascade for the scoring path. The codegen'd
+    features (Jaccard/Levenshtein/price/brand) are computed for every pair;
+    pairs below the Jaccard gate are certain non-matches (fixture positives
+    bottom out near 0.4; the gate sits at 0.15) and are DROPPED before the
+    Arrow-batched Python features (Jaro-Winkler + TF-IDF cosine), so the
+    expensive path sees only plausible pairs. At 100 TB this is the
+    difference between shipping every junk LSH collision through the Python
+    workers and shipping ~the true-match neighborhood. Pass None (default)
+    to keep all pairs — required for training/eval feature frames.
+    """
     left = attrs.select([F.col(c).alias(f"l_{c}") for c in ATTR_COLS])
     right = attrs.select([F.col(c).alias(f"r_{c}") for c in ATTR_COLS])
     df = (
         pairs.join(left, pairs.id_l == left.l_record_id)
         .join(right, pairs.id_r == right.r_record_id)
     )
-    return df.select(
+    cheap = df.select(
         "id_l",
         "id_r",
+        "l_title_norm",
+        "r_title_norm",
+        "l_tfidf_idx",
+        "l_tfidf_val",
+        "r_tfidf_idx",
+        "r_tfidf_val",
         S.token_jaccard(F.col("l_tokens"), F.col("r_tokens")).alias("jaccard"),
         S.levenshtein_sim(F.col("l_title_norm"), F.col("r_title_norm")).alias("lev_sim"),
-        S.jaro_winkler_udf(F.col("l_title_norm"), F.col("r_title_norm")).alias("jw_sim"),
-        S.sparse_cosine_udf(
-            F.col("l_tfidf_idx"), F.col("l_tfidf_val"), F.col("r_tfidf_idx"), F.col("r_tfidf_val")
-        ).alias("tfidf_cos"),
         S.relative_closeness(F.col("l_price"), F.col("r_price")).alias("price_sim"),
         S.eq_flag(F.col("l_brand"), F.col("r_brand")).alias("brand_eq"),
+    )
+    if gate_jaccard is not None:
+        cheap = cheap.where(F.col("jaccard") >= gate_jaccard)
+    fused = S.pair_scores_udf(
+        F.col("l_title_norm"),
+        F.col("r_title_norm"),
+        F.col("l_tfidf_idx"),
+        F.col("l_tfidf_val"),
+        F.col("r_tfidf_idx"),
+        F.col("r_tfidf_val"),
+    )
+    return cheap.withColumn("_py", fused).select(
+        "id_l",
+        "id_r",
+        "jaccard",
+        "lev_sim",
+        F.col("_py.jw_sim").alias("jw_sim"),
+        F.col("_py.tfidf_cos").alias("tfidf_cos"),
+        "price_sim",
+        "brand_eq",
     )

@@ -152,7 +152,9 @@ class ERPipeline:
 
         def build() -> DataFrame:
             keys = B.all_block_keys(offers, self.cfg.blocking)
-            capped = B.cap_blocks(keys, self.cfg.blocking)
+            # capped blocks feed block_stats AND both (small/hot) join branches
+            # — truncate the lineage once instead of recomputing LSH 4x.
+            capped = B.cap_blocks(keys, self.cfg.blocking).localCheckpoint(eager=True)
             pairs = B.candidate_pairs(capped, self.cfg.blocking)
             return pairs.withColumn(
                 "part_id", F.pmod(F.xxhash64("id_l", "id_r"), F.lit(n)).cast("int")
@@ -173,7 +175,11 @@ class ERPipeline:
         n = self.cfg.n_checkpoint_partitions
 
         def build() -> DataFrame:
-            feats = FE.pair_features(pairs.select("id_l", "id_r"), attrs)
+            feats = FE.pair_features(
+                pairs.select("id_l", "id_r"),
+                attrs,
+                gate_jaccard=self.cfg.scoring.gate_jaccard,
+            )
             scored = M.score_pairs(feats, matcher)
             return scored.withColumn(
                 "part_id", F.pmod(F.xxhash64("id_l", "id_r"), F.lit(n)).cast("int")

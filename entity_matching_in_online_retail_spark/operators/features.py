@@ -46,28 +46,42 @@ def pair_features(
     workers and shipping ~the true-match neighborhood. Pass None (default)
     to keep all pairs — required for training/eval feature frames.
     """
-    left = attrs.select([F.col(c).alias(f"l_{c}") for c in ATTR_COLS])
-    right = attrs.select([F.col(c).alias(f"r_{c}") for c in ATTR_COLS])
-    df = (
-        pairs.join(left, pairs.id_l == left.l_record_id)
-        .join(right, pairs.id_r == right.r_record_id)
-    )
-    cheap = df.select(
-        "id_l",
-        "id_r",
-        "l_title_norm",
-        "r_title_norm",
-        "l_tfidf_idx",
-        "l_tfidf_val",
-        "r_tfidf_idx",
-        "r_tfidf_val",
-        S.token_jaccard(F.col("l_tokens"), F.col("r_tokens")).alias("jaccard"),
-        S.levenshtein_sim(F.col("l_title_norm"), F.col("r_title_norm")).alias("lev_sim"),
-        S.relative_closeness(F.col("l_price"), F.col("r_price")).alias("price_sim"),
-        S.eq_flag(F.col("l_brand"), F.col("r_brand")).alias("brand_eq"),
+    # Shuffle discipline: the pair table is the huge side (O(candidates));
+    # attrs is O(records). Phase 1 joins only the LIGHT attribute columns
+    # (tokens/title/brand/price — Catalyst prunes the tf-idf arrays out of
+    # the scan) and computes the codegen'd features; the gate then drops
+    # certain non-matches. Phase 2 fetches the heavy tf-idf vectors for the
+    # SURVIVORS only — the ~KB-per-row vectors never ride a full-candidate
+    # exchange. With the record side under the broadcast threshold all four
+    # fetches are broadcast hash joins (zero shuffle of the pair table); at
+    # 10^12 records they become storage-partitioned joins on id-bucketed
+    # Iceberg tables.
+    light_cols = ["record_id", "tokens", "title_norm", "brand", "price"]
+    vec_cols = ["record_id", "tfidf_idx", "tfidf_val"]
+    light_l = attrs.select([F.col(c).alias(f"l_{c}") for c in light_cols])
+    light_r = attrs.select([F.col(c).alias(f"r_{c}") for c in light_cols])
+    cheap = (
+        pairs.join(light_l, pairs.id_l == light_l.l_record_id)
+        .join(light_r, pairs.id_r == light_r.r_record_id)
+        .select(
+            "id_l",
+            "id_r",
+            "l_title_norm",
+            "r_title_norm",
+            S.token_jaccard(F.col("l_tokens"), F.col("r_tokens")).alias("jaccard"),
+            S.levenshtein_sim(F.col("l_title_norm"), F.col("r_title_norm")).alias("lev_sim"),
+            S.relative_closeness(F.col("l_price"), F.col("r_price")).alias("price_sim"),
+            S.eq_flag(F.col("l_brand"), F.col("r_brand")).alias("brand_eq"),
+        )
     )
     if gate_jaccard is not None:
         cheap = cheap.where(F.col("jaccard") >= gate_jaccard)
+    vec_l = attrs.select([F.col(c).alias(f"l_{c}") for c in vec_cols])
+    vec_r = attrs.select([F.col(c).alias(f"r_{c}") for c in vec_cols])
+    full = (
+        cheap.join(vec_l, cheap.id_l == vec_l.l_record_id, "left")
+        .join(vec_r, cheap.id_r == vec_r.r_record_id, "left")
+    )
     fused = S.pair_scores_udf(
         F.col("l_title_norm"),
         F.col("r_title_norm"),
@@ -76,7 +90,7 @@ def pair_features(
         F.col("r_tfidf_idx"),
         F.col("r_tfidf_val"),
     )
-    return cheap.withColumn("_py", fused).select(
+    return full.withColumn("_py", fused).select(
         "id_l",
         "id_r",
         "jaccard",

@@ -175,8 +175,12 @@ class ERPipeline:
         n = self.cfg.n_checkpoint_partitions
 
         def build() -> DataFrame:
+            # With broadcast attribute fetches the scoring plan has no
+            # shuffle, so task count would equal the checkpoint's file count
+            # (8) — repartition the narrow pair table once to use every core.
+            n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             feats = FE.pair_features(
-                pairs.select("id_l", "id_r"),
+                pairs.select("id_l", "id_r").repartition(n_part),
                 attrs,
                 gate_jaccard=self.cfg.scoring.gate_jaccard,
             )

@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Record-side tables (attrs/dims) are O(records) while pair tables
+        # are O(candidates); on this single box a generous broadcast budget
+        # turns every attribute-fetch join into a broadcast hash join (zero
+        # shuffle of the pair table). A real cluster keeps the default and
+        # relies on bucketed/storage-partitioned joins instead.
+        .config("spark.sql.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")

@@ -1,0 +1,133 @@
+"""Dedup + ANN + text-stats operator correctness (beyond the SQL oracle)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_matching_in_online_retail_spark.functions import textstats as TS
+from entity_matching_in_online_retail_spark.functions import text as TX
+from entity_matching_in_online_retail_spark.operators import ann
+from entity_matching_in_online_retail_spark.operators import dedup as DD
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other"), (7, "same text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(df).collect())
+    assert kept == [1, 2]
+    groups = DD.exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 1
+
+
+def test_minhash_near_dups_finds_planted_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    got = {(r["id_l"], r["id_r"]) for r in DD.minhash_near_dups(df, threshold=0.7).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_identical_and_near(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    got = DD.simhash_near_dups(df, max_hamming=0).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 0
+
+
+def test_ngram_jaccard_known(spark):
+    df = spark.createDataFrame([("abcd", "bcde")], "a string, b string")
+    # 3-grams: {abc,bcd} vs {bcd,cde} → 1/3
+    got = df.select(DD.ngram_jaccard(F.col("a"), F.col("b"), 3).alias("j")).first()["j"]
+    assert got == pytest.approx(1 / 3)
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abca",), ("ab",)], "s string")
+    got = [r["g"] for r in df.select(DD.char_shingles(F.col("s"), 3).alias("g")).collect()]
+    assert got[0] == ["abc", "bca"]
+    assert got[1] == ["ab"]  # shorter than n → whole string
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.lsh_topk(queries, emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_embedding_near_dups_planted(spark):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(64)
+    rows = [
+        (1, [float(x) for x in v]),
+        (2, [float(x) for x in (v + 0.01 * rng.standard_normal(64))]),
+        (3, [float(x) for x in rng.standard_normal(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_l"], r["id_r"]) for r in DD.embedding_near_dups(df, threshold=0.99).collect()}
+    assert got == {(1, 2)}
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("der hund ist nicht mit der katze und",),
+            ("le chat est dans la maison et les arbres",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "text string",
+    )
+    toks = TX.tokens(F.lower(F.col("text")))
+    got = [r["l"] for r in df.select(TS.lang_id(toks).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "a clean well formed sentence with normal words present here " * 4),
+            ("bad", "!!! ### $$$ %%% ^^^ &&& *** ((()))"),
+        ],
+        "tag string, text string",
+    )
+    toks = TX.tokens(TX.normalize_text(F.col("text"), with_nfkc=False))
+    got = {r["tag"]: r["q"] for r in df.select("tag", TS.quality_score(F.col("text"), toks).alias("q")).collect()}
+    assert got["good"] > 0.8 > got["bad"]
+    assert 0.0 <= got["bad"] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world 42 x-y",), ("",)], "text string")
+    rows = df.select(
+        TS.token_count_ws(F.col("text")).alias("ws"),
+        TS.token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).collect()
+    assert rows[0]["ws"] == 4
+    # bpe-ish: hello, world, 42, x, -, y
+    assert rows[0]["bpe"] == 6
+    assert rows[1]["ws"] == 0 and rows[1]["bpe"] == 0
+
+
+def test_doc_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    toks = TX.tokens(F.lower(F.col("text")))
+    got = [r["fp"] for r in df.select(TS.doc_fingerprint(toks, 4).alias("fp")).collect()]
+    assert got[0] == got[1]  # order-insensitive

@@ -457,7 +457,51 @@ def q_ann_bruteforce(spark, d):
     )
 
 
+def q_asof_join(spark, d):
+    from entity_matching_in_online_retail_spark.operators.asof import asof_join
+
+    ev = _t(spark, d, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="p_ts",
+                    value_cols=["purchase_id"], suffix="")
+    return out.select("event_id", F.col("purchase_id").alias("prior_purchase_id"))
+
+
+def q_pivot(spark, d):
+    return (
+        _t(spark, d, "documents")
+        .groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["src0", "src1", "src2", "src3"])
+    )
+
+
+def q_from_json(spark, d):
+    parsed = F.from_json("props", "k int")
+    return _t(spark, d, "events").agg(
+        F.sum(parsed["k"].cast("bigint")).alias("sum_k"),
+        F.count(F.when(parsed["k"] > 50, 1)).alias("n_big"),
+    )
+
+
 # ------------------------- rows-only queries (no clean SQL equivalent) ----
+
+
+def q_approx_count_distinct(spark, d):
+    # HLL++ estimate: checked against the exact count in pytest (within 3*rsd)
+    return _t(spark, d, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    )
+
+
+def q_soundex(spark, d):
+    return _t(spark, d, "customer").select(
+        "c_custkey", F.soundex(F.split("c_name", " ")[0]).alias("name_soundex")
+    )
 
 
 def q_minhash_near_dups(spark, d):
@@ -545,7 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "embedding_stats": q_embedding_stats,
         "ann_bruteforce": q_ann_bruteforce,
+        "asof_join": q_asof_join,
+        "pivot": q_pivot,
+        "from_json": q_from_json,
         # rows-only (no oracle entry): hash-based / iterative operators
+        "approx_count_distinct": q_approx_count_distinct,
+        "soundex": q_soundex,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -737,6 +786,25 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": (
             "SELECT label, count(*) AS n, round(avg(embedding[1]), 6) AS avg_dim0 "
             "FROM embeddings GROUP BY label"
+        ),
+        "asof_join": (
+            "SELECT l.event_id, r.event_id AS prior_purchase_id FROM events l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "pivot": (
+            "SELECT lang, "
+            "sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0, "
+            "sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1, "
+            "sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2, "
+            "sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3 "
+            "FROM documents GROUP BY lang"
+        ),
+        "from_json": (
+            "SELECT sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+            "count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
+            "THEN 1 END) AS n_big FROM events"
         ),
         "ann_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "

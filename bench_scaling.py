@@ -2,14 +2,22 @@
 efficiency >= 0.8 from N to 4N executors).
 
 No real cluster exists in this sandbox, so the criterion is evidenced by
-running the SAME job at local[8] and local[32] on the SAME input (one
-subprocess per level — separate JVMs, shuffle partitions pinned to 2x cores
-per level), reporting candidate-pairs-scored/sec at both plus
+running the SAME stage dataflows at local[8] and local[32] (separate JVMs,
+shuffle partitions pinned to 2x cores) over the SAME pre-built inputs, and
 
-    efficiency = throughput(32) / (4 * throughput(8))
+    efficiency = throughput(4N) / (4 * throughput(N))
 
-over the parallel pipeline stages. Writes BENCH/BASELINE.md and prints one
-JSON line. Usage: python bench_scaling.py [--sf-dir D] [--runs K]
+Protocol details that make the measurement honest on one box:
+  - a large corpus (E=50k entities, ~370k records, ~10^8 candidate pairs) so
+    compute dominates fixed costs;
+  - per stage we report cold (first run: broadcast builds, AQE re-planning,
+    Python worker spawn) AND warm (second run) times; efficiency is computed
+    on warm times — the steady-state throughput a long-lived cluster job
+    amortizes to — with cold numbers reported alongside;
+  - inputs are built once (resumable manifest pipeline) and shared.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+Usage: python bench_scaling.py [--entities 50000] [--low 8] [--high 32]
 """
 
 from __future__ import annotations
@@ -17,89 +25,96 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-
-# Stages whose work parallelizes across executors (excludes the fixed-cost
-# LR fit, which is a one-time driver-side model fit at any cluster size).
-PARALLEL_STAGES = [
-    "er_ingest_normalize",
-    "er_tfidf_vectors",
-    "er_block_pairs",
-    "er_score_pairs",
-    "er_cluster_cc",
-]
+sys.path.insert(0, REPO)
 
 
-def run_level(cores: int, sf_dir: str, runs: int) -> list[dict]:
-    out = []
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_CPUS=str(cores),
-    )
-    for i in range(runs):
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-        out.append(json.loads(line))
-    return out
+def prepare_inputs(entities: int, workdir: str) -> dict:
+    """Build offers/attrs/pairs/scores + model once at full parallelism
+    (manifest-gated: instant if already built)."""
+    from entity_matching_in_online_retail_spark import fixtures as fx
+    from entity_matching_in_online_retail_spark.plans.pipeline import ERPipeline
+    from entity_matching_in_online_retail_spark.session import get_spark
 
-
-def summarize(results: list[dict]) -> dict:
-    def med(key_fn):
-        return statistics.median(key_fn(r) for r in results)
-
-    return {
-        "total_sec": med(lambda r: r["value"]),
-        "parallel_sec": med(lambda r: sum(r["queries"][s] for s in PARALLEL_STAGES)),
-        "score_sec": med(lambda r: r["queries"]["er_score_pairs"]),
-        "pairs_per_sec": med(lambda r: r["pairs_scored_per_sec"]),
-        "n_pairs": results[0]["n_candidate_pairs"],
-        "n_records": results[0]["n_records"],
-        "f1": results[0]["f1"],
-        "stages": {
-            s: statistics.median(r["queries"][s] for r in results)
-            for s in PARALLEL_STAGES
-        },
+    spark = get_spark("scaling_prep", cores=32, shuffle_partitions=64)
+    corpus_dir = os.path.join(REPO, ".bench_cache", f"corpus_e{entities}")
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        corpus = fx.generate_corpus(n_entities=entities, hot_entities=5, hot_size=200)
+        fx.write_corpus(spark, corpus, corpus_dir)
+        with open(os.path.join(corpus_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    pages = spark.read.parquet(os.path.join(corpus_dir, "web_pages"))
+    labeled = spark.read.parquet(os.path.join(corpus_dir, "labeled_pairs"))
+    pipe = ERPipeline(spark, workdir)
+    res = pipe.run(pages, labeled_urls=labeled)
+    info = {
+        "n_records": res.clusters.count(),
+        "f1": round(res.metrics.f1, 4) if res.metrics else None,
     }
+    spark.stop()
+    return info
+
+
+def run_level(cores: int, workdir: str, reps: int) -> dict:
+    p = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "bench_stage_runner.py"),
+            "--cores", str(cores),
+            "--workdir", workdir,
+            "--reps", str(reps),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=5400,
+    )
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"runner failed at {cores} cores:\n{p.stderr[-3000:]}")
+    return json.loads(lines[-1])
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--entities", type=int, default=50000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
-    # warm the corpus cache (generated once, reused by both levels)
-    lo = summarize(run_level(args.low, args.sf_dir, args.runs))
-    hi = summarize(run_level(args.high, args.sf_dir, args.runs))
+    workdir = os.path.join(REPO, ".bench_cache", f"scaling_wd_e{args.entities}")
+    os.makedirs(workdir, exist_ok=True)
+    info = prepare_inputs(args.entities, workdir)
+
+    lo = run_level(args.low, workdir, args.reps)
+    hi = run_level(args.high, workdir, args.reps)
 
     factor = args.high / args.low
-    eff_pairs = (hi["pairs_per_sec"] / lo["pairs_per_sec"]) / factor
-    eff_parallel = (lo["parallel_sec"] / hi["parallel_sec"]) / factor
-    eff_score = (lo["score_sec"] / hi["score_sec"]) / factor
+
+    def eff(stage: str, kind: str) -> float:
+        return round(
+            (lo["stages"][stage][kind] / hi["stages"][stage][kind]) / factor, 3
+        )
 
     report = {
         "metric": "scaling_efficiency",
         "low_cores": args.low,
         "high_cores": args.high,
-        "runs_per_level": args.runs,
+        "corpus": {"entities": args.entities, **info, "n_pairs": lo["n_pairs"]},
         "low": lo,
         "high": hi,
-        "efficiency_pairs_per_sec": round(eff_pairs, 3),
-        "efficiency_parallel_stages": round(eff_parallel, 3),
-        "efficiency_score_stage": round(eff_score, 3),
+        "efficiency_warm": {s: eff(s, "warm") for s in lo["stages"]},
+        "efficiency_cold": {s: eff(s, "cold") for s in lo["stages"]},
+        "pairs_per_sec": {
+            "low_warm": lo["pairs_per_sec_warm"],
+            "high_warm": hi["pairs_per_sec_warm"],
+            "efficiency": round(
+                hi["pairs_per_sec_warm"] / (factor * lo["pairs_per_sec_warm"]), 3
+            ),
+        },
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -107,37 +122,36 @@ def main() -> int:
         "# BENCH/BASELINE — measured scaling evidence",
         "",
         "North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.",
-        "Sandbox protocol (no real cluster): same job, same input, separate JVMs at",
-        f"`local[{args.low}]` vs `local[{args.high}]`, shuffle partitions pinned to 2x cores,",
-        f"median of {args.runs} run(s) per level. Input: bench web-pages corpus",
-        f"({lo['n_records']} records, {lo['n_pairs']} candidate pairs), sf dir `{args.sf_dir}`.",
+        "Sandbox protocol (no real cluster; see header of bench_scaling.py): same",
+        f"stage dataflows over the same pre-built inputs at `local[{args.low}]` vs",
+        f"`local[{args.high}]`, separate JVMs, shuffle partitions = 2x cores.",
+        f"Corpus: {args.entities} entities, {info['n_records']} records,",
+        f"{lo['n_pairs']:,} candidate pairs; end-to-end pairwise F1 = {info['f1']}.",
         "",
-        "| quantity | local[%d] | local[%d] | efficiency |" % (args.low, args.high),
-        "| --- | --- | --- | --- |",
-        "| candidate pairs scored/sec | {:,.0f} | {:,.0f} | **{:.3f}** |".format(
-            lo["pairs_per_sec"], hi["pairs_per_sec"], eff_pairs
-        ),
-        "| parallel stages wall (s) | {:.1f} | {:.1f} | **{:.3f}** |".format(
-            lo["parallel_sec"], hi["parallel_sec"], eff_parallel
-        ),
-        "| scoring stage wall (s) | {:.1f} | {:.1f} | **{:.3f}** |".format(
-            lo["score_sec"], hi["score_sec"], eff_score
-        ),
+        "Warm = steady-state (2nd run in the JVM); cold = first run (broadcast",
+        "builds + AQE re-planning + Python worker spawn included).",
         "",
-        "Per-stage wall seconds (median):",
-        "",
-        "| stage | local[%d] | local[%d] | speedup |" % (args.low, args.high),
-        "| --- | --- | --- | --- |",
+        f"| stage | local[{args.low}] warm (s) | local[{args.high}] warm (s) | warm efficiency | cold efficiency |",
+        "| --- | --- | --- | --- | --- |",
     ]
-    for s in PARALLEL_STAGES:
+    for s in lo["stages"]:
         md.append(
-            "| {} | {:.1f} | {:.1f} | {:.2f}x |".format(
-                s, lo["stages"][s], hi["stages"][s], lo["stages"][s] / max(hi["stages"][s], 1e-9)
+            "| {} | {:.1f} | {:.1f} | **{:.3f}** | {:.3f} |".format(
+                s,
+                lo["stages"][s]["warm"],
+                hi["stages"][s]["warm"],
+                report["efficiency_warm"][s],
+                report["efficiency_cold"][s],
             )
         )
     md += [
         "",
-        f"Pairwise match F1 on labeled pairs at both levels: {lo['f1']} / {hi['f1']}.",
+        "Candidate pairs scored/sec (scoring stage, warm): "
+        "{:,.0f} at local[{}] → {:,.0f} at local[{}] — efficiency **{:.3f}**.".format(
+            lo["pairs_per_sec_warm"], args.low,
+            hi["pairs_per_sec_warm"], args.high,
+            report["pairs_per_sec"]["efficiency"],
+        ),
         "",
         "Raw JSON:",
         "```json",

@@ -1,11 +1,8 @@
-"""Per-parallelism-level stage timer (invoked by bench_scaling.py).
+"""Single-stage, single-run timer in a fresh JVM (invoked by bench_scaling.py).
 
-Reads pre-built stage inputs (offers/attrs/pairs parquet + model.json) from a
-shared workdir, then times each pipeline stage's dataflow at this JVM's
-parallelism level, cold and warm (the warm run measures steady-state
-throughput — what a long-lived cluster job amortizes to; the cold run folds
-in broadcast builds, AQE re-planning rounds and Python worker spawn).
-Prints one JSON line.
+One (master, stage) measurement per process so JVM heap aging, leftover
+broadcasts, and page-cache luck from earlier runs cannot contaminate the
+timing. Prints one JSON line: {"stage", "sec", "n_pairs", "master"}.
 """
 
 from __future__ import annotations
@@ -29,64 +26,66 @@ from entity_matching_in_online_retail_spark.operators import model as M  # noqa:
 from entity_matching_in_online_retail_spark.session import get_spark  # noqa: E402
 
 
-def _noop(df):
-    df.write.format("noop").mode("overwrite").save()
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--master", required=True, help='e.g. "local-cluster[4,8,16384]" or "local[8]"')
+    ap.add_argument("--total-cores", type=int, required=True)
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--stage", choices=["block", "score", "cc"], required=True)
     args = ap.parse_args()
 
     spark = get_spark(
-        f"scale_{args.cores}", cores=args.cores, shuffle_partitions=2 * args.cores
+        "scale_runner",
+        cores=args.total_cores,
+        shuffle_partitions=2 * args.total_cores,
+        master=args.master,
     )
     wd = args.workdir
-    offers = spark.read.parquet(os.path.join(wd, "offers"))
-    attrs = spark.read.parquet(os.path.join(wd, "attrs"))
-    pairs = spark.read.parquet(os.path.join(wd, "pairs"))
-    with open(os.path.join(wd, "model.json")) as f:
-        saved = json.load(f)
-    matcher = M.LinearMatcher(
-        tuple(saved["feature_cols"]), tuple(saved["coefficients"]), saved["intercept"]
-    )
-    tau = float(saved["threshold"])
     cfg = DEFAULT_CONFIG
-    n_pairs = pairs.count()
 
-    def run_block():
-        keys = B.all_block_keys(offers, cfg.blocking)
-        capped = B.cap_blocks(keys, cfg.blocking).localCheckpoint(eager=True)
-        _noop(B.candidate_pairs(capped, cfg.blocking))
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
 
-    def run_score():
-        feats = FE.pair_features(
-            pairs.select("id_l", "id_r").repartition(2 * args.cores),
-            attrs,
-            gate_jaccard=cfg.scoring.gate_jaccard,
+    if args.stage == "block":
+        offers = spark.read.parquet(os.path.join(wd, "offers"))
+        n_pairs = None
+
+        def fn():
+            keys = B.all_block_keys(offers, cfg.blocking)
+            capped = B.cap_blocks(keys, cfg.blocking).localCheckpoint(eager=True)
+            _noop(B.candidate_pairs(capped, cfg.blocking))
+
+    elif args.stage == "score":
+        attrs = spark.read.parquet(os.path.join(wd, "attrs"))
+        pairs = spark.read.parquet(os.path.join(wd, "pairs")).select("id_l", "id_r")
+        n_pairs = pairs.count()
+        with open(os.path.join(wd, "model.json")) as f:
+            saved = json.load(f)
+        matcher = M.LinearMatcher(
+            tuple(saved["feature_cols"]), tuple(saved["coefficients"]), saved["intercept"]
         )
-        _noop(M.score_pairs(feats, matcher))
 
-    scores_path = os.path.join(wd, "scores")
+        def fn():
+            feats = FE.pair_features(
+                pairs.repartition(2 * args.total_cores),
+                attrs,
+                gate_jaccard=cfg.scoring.gate_jaccard,
+            )
+            _noop(M.score_pairs(feats, matcher))
 
-    def run_cc():
-        scored = spark.read.parquet(scores_path)
-        comps = C.connected_components(M.match_edges(scored, tau))
-        comps.write.format("noop").mode("overwrite").save()
+    else:
+        scored = spark.read.parquet(os.path.join(wd, "scores"))
+        with open(os.path.join(wd, "model.json")) as f:
+            tau = float(json.load(f)["threshold"])
+        n_pairs = None
 
-    out: dict = {"cores": args.cores, "n_pairs": n_pairs, "stages": {}}
-    for name, fn in [("block", run_block), ("score", run_score), ("cc", run_cc)]:
-        reps = []
-        for _ in range(args.reps):
-            t = time.time()
-            fn()
-            reps.append(round(time.time() - t, 2))
-        out["stages"][name] = {"cold": reps[0], "warm": min(reps[1:] or reps)}
-    out["pairs_per_sec_warm"] = round(n_pairs / out["stages"]["score"]["warm"], 1)
-    out["pairs_per_sec_cold"] = round(n_pairs / out["stages"]["score"]["cold"], 1)
-    print(json.dumps(out))
+        def fn():
+            _noop(C.connected_components(M.match_edges(scored, tau)))
+
+    t0 = time.time()
+    fn()
+    sec = round(time.time() - t0, 2)
+    print(json.dumps({"stage": args.stage, "sec": sec, "n_pairs": n_pairs, "master": args.master}))
     spark.stop()
     return 0
 

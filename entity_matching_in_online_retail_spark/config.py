@@ -55,6 +55,9 @@ class ScoringConfig:
 
 @dataclass(frozen=True)
 class PipelineConfig:
+    # Bump on stage-output schema/semantics changes: part of the config hash,
+    # so existing checkpoints are invalidated on upgrade.
+    version: str = "2"
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     lang_filter: str = "en"

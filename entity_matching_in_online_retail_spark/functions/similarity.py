@@ -28,6 +28,17 @@ def token_jaccard(tokens_l: Column, tokens_r: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def jaccard_from_sizes(
+    hashes_l: Column, hashes_r: Column, n_l: Column, n_r: Column
+) -> Column:
+    """Jaccard over pre-hashed distinct token arrays with precomputed set
+    sizes: |A∩B| / (|A|+|B|-|A∩B|). One array_intersect instead of
+    intersect+union — cheaper in allocation-bound hot loops."""
+    inter = F.size(F.array_intersect(hashes_l, hashes_r)).cast("double")
+    union = (n_l + n_r).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 # --------------------------------------------------------------------------
 # F2: Levenshtein similarity — built-in edit distance normalized to [0,1].
 # --------------------------------------------------------------------------

@@ -17,11 +17,14 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores: local[N] thread count; default $SPARK_GRAFT_CPUS or all cores.
     shuffle_partitions: default 2x cores (AQE coalesces down at runtime).
+    master: override (e.g. "local-cluster[4,8,16384]" for multi-executor-JVM
+    scaling runs; executors then need PYTHONPATH to this repo).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -29,7 +32,7 @@ def get_spark(
         shuffle_partitions = 2 * cores
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -48,6 +51,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
+    if master and master.startswith("local-cluster"):
+        mem_mb = master.split(",")[2].rstrip("]")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executor.memory", f"{mem_mb}m")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.driver.memory", "8g")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -87,3 +87,31 @@ def test_windowed_event_counts(spark, stream_dirs):
     # windows before the (max_ts - 2h) watermark are finalized and emitted
     assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert rows[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_stateful_sessionize(spark, stream_dirs, tmp_path_factory):
+    from entity_matching_in_online_retail_spark.streaming import stateful as ST
+
+    base = tmp_path_factory.mktemp("sess")
+    events_dir, out_dir, ckpt = str(base / "ev"), str(base / "out"), str(base / "ck")
+    events = spark.createDataFrame(
+        [
+            # user 1: two sessions separated by a 2h gap
+            (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:10:00", 1, "click", 2.0, "{}"),
+            (3, "2024-01-01 02:30:00", 1, "view", 3.0, "{}"),
+            # user 2: one session
+            (4, "2024-01-01 01:00:00", 2, "view", 4.0, "{}"),
+            (5, "2024-01-01 01:05:00", 2, "view", 5.0, "{}"),
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    events.write.mode("overwrite").parquet(events_dir)
+
+    q = ST.run_sessionize_once(spark, events_dir, out_dir, ckpt, gap_seconds=1800)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    rows = {(r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"]) for r in out.collect()}
+    # only CLOSED sessions are emitted in this micro-batch: user 1's first
+    # session closed when the 02:30 event arrived; the rest remain in state
+    assert rows == {(1, "2024-01-01 00:00:00"): (2, 3.0)}

@@ -84,8 +84,9 @@ def connected_components(
     )
     prev = None
     for _ in range(max_iterations):
-        e = _large_star(e).localCheckpoint(eager=True)
-        e = _small_star(e).localCheckpoint(eager=True)
+        # one lineage truncation per LS+SS round (the LS intermediate is
+        # consumed exactly once — checkpointing it would only add a barrier)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = _fingerprint(e)
         if fp == prev:
             break

@@ -526,9 +526,17 @@ def q_ngram_jaccard(spark, d):
 
 
 def q_doc_fingerprint(spark, d):
+    # Serialized to a scalar string: the driver's order-insensitive
+    # canonicalizer hashes values and cannot handle array columns.
     docs = _t(spark, d, "documents")
     toks = TX.tokens(TX.normalize_text(F.col("text"), with_nfkc=False))
-    return docs.select("doc_id", TS.doc_fingerprint(toks, w=8).alias("fingerprint"))
+    fp = TS.doc_fingerprint(toks, w=8)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(fp, lambda h: h.cast("string"))).alias(
+            "fingerprint"
+        ),
+    )
 
 
 def q_ann_lsh(spark, d):
@@ -538,8 +546,21 @@ def q_ann_lsh(spark, d):
 
 
 def q_embedding_near_dups(spark, d):
-    emb = _t(spark, d, "embeddings").where(F.col("vec_id") < 400)
-    return DD.embedding_near_dups(emb, threshold=0.9)
+    # The embeddings fixture has no qualifying pairs (max pairwise cosine
+    # ~0.49), so plant deterministic near-dups Spark-side: one copy per base
+    # vector with a single dimension zeroed (cosine ~0.99). The operator must
+    # recover base<->copy pairs via multi-table LSH + exact-cosine verify.
+    emb = _t(spark, d, "embeddings").where(F.col("vec_id") < 200)
+    zero_dim = F.pmod(F.col("vec_id"), F.lit(64))
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == zero_dim, F.lit(0.0)).otherwise(x),
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(copies)
+    return DD.embedding_near_dups(both, threshold=0.95)
 
 
 def q_mini_er(spark, d):
@@ -706,16 +727,20 @@ def oracle_sql() -> dict[str, str]:
             "INTERSECT SELECT doc_id FROM documents WHERE source = 'src0')"
         ),
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+        # NB: DuckDB sum() over integers yields HUGEINT (fetched as float64 by
+        # pandas) while Spark sums to BIGINT — cast every OUTER integer sum so
+        # both engines hash identically in the driver's value compare.
         "json_extract": (
-            "SELECT sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k FROM events"
+            "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k FROM events"
         ),
         "date_trunc": (
             f"SELECT strftime(date_trunc('day', ts), '{_TS_DUCK}') AS day, "
             "count(*) AS n FROM events GROUP BY 1"
         ),
         "case_flags": (
-            "SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned, "
-            "sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_rf "
+            "SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned, "
+            "CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_rf "
             "FROM lineitem"
         ),
         "numeric_closeness": (
@@ -795,14 +820,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pivot": (
             "SELECT lang, "
-            "sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0, "
-            "sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1, "
-            "sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2, "
-            "sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3 "
+            "CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0, "
+            "CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1, "
+            "CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2, "
+            "CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3 "
             "FROM documents GROUP BY lang"
         ),
         "from_json": (
-            "SELECT sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+            "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
             "count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
             "THEN 1 END) AS n_big FROM events"
         ),

@@ -62,6 +62,32 @@ def with_hyperplane_bucket(
     return df.withColumn(bucket_col, bucket)
 
 
+def with_table_buckets(
+    df: DataFrame,
+    vec_col: str,
+    n_tables: int,
+    planes_per_table: int,
+    dims: int,
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Single-pass multi-table LSH: compute all L table buckets in ONE
+    projection, then posexplode to (table, bucket) rows — the corpus is
+    scanned once and downstream joins on (table, bucket) are one shuffle,
+    not L unioned scans+joins."""
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(planes_per_table, dims, seed + t)
+        b = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
+            b = b + F.shiftleft(bit.cast("long"), i)
+        buckets.append(b)
+    return df.select(
+        "*", F.posexplode(F.array(*buckets)).alias("table", "bucket")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -116,14 +142,19 @@ def lsh_topk(
     volume, which is what you pay for at scale, drops accordingly."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    cands = None
-    for t in range(n_tables):
-        qb = with_hyperplane_bucket(q, "_qv", planes_per_table, dims, seed=ANN_SEED + t)
-        cb = with_hyperplane_bucket(c, "_cv", planes_per_table, dims, seed=ANN_SEED + t)
-        hits = qb.join(cb, "bucket").select("query_id", "neighbor_id")
-        cands = hits if cands is None else cands.unionByName(hits)
-    cands = cands.where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    qb = with_table_buckets(
+        q.select("query_id", F.col("_qv").alias("_bv")), "_bv",
+        n_tables, planes_per_table, dims,
+    ).select("query_id", "table", "bucket")
+    cb = with_table_buckets(
+        c.select("neighbor_id", F.col("_cv").alias("_bv")), "_bv",
+        n_tables, planes_per_table, dims,
+    ).select("neighbor_id", "table", "bucket")
+    cands = (
+        qb.join(cb, ["table", "bucket"])
+        .select("query_id", "neighbor_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = (
         cands.join(q, "query_id")

@@ -115,10 +115,18 @@ def candidate_pairs(
     """
     if stats is None:
         stats = block_stats(blocks)
-    blocks = blocks.join(stats, "block_key")
-
-    small = blocks.where(F.col("block_size") <= cfg.salt_threshold)
-    hot = blocks.where(F.col("block_size") > cfg.salt_threshold)
+    # Round-1 joined the FULL (record_id, block_key) table against stats —
+    # a shuffle of every block row just to learn which keys are hot. The hot
+    # set (post-cap size > salt_threshold) is the skew tail: tiny by
+    # construction (bounded count of keys that survived capping above the
+    # threshold), so broadcast it and split with semi/anti joins — zero
+    # additional shuffle of the block table, which after cap_blocks is
+    # already hash-partitioned by block_key.
+    hot_keys = F.broadcast(
+        stats.where(F.col("block_size") > cfg.salt_threshold).select("block_key")
+    )
+    small = blocks.join(hot_keys, "block_key", "left_anti")
+    hot = blocks.join(hot_keys, "block_key", "left_semi")
 
     sl = small.select("block_key", F.col(id_col).alias("id_l"))
     sr = small.select("block_key", F.col(id_col).alias("id_r"))

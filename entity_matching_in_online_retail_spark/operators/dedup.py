@@ -114,10 +114,38 @@ def minhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup: 64-bit simhash; candidates share at least one of 4
-# 16-bit chunks (any pair within Hamming distance <= 3 shares a chunk by
-# pigeonhole); verify bit_count(xor) <= max_hamming. All built-ins.
+# SimHash near-dup: 64-bit simhash split into (max_hamming + 1) chunks —
+# pigeonhole: a pair within Hamming distance <= max_hamming cannot differ in
+# ALL chunks, so it shares at least one chunk key (recall = 1 by
+# construction); verify bit_count(xor) <= max_hamming. All built-ins.
 # ---------------------------------------------------------------------------
+
+
+def simhash_candidates(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_l, id_r, hamming) pairs within max_hamming, from a (_id, _sh)
+    signature table. Chunk count = max_hamming + 1 so the pigeonhole recall
+    guarantee covers exactly the requested distance."""
+    c = max_hamming + 1
+    if c > 64:
+        raise ValueError("max_hamming must be < 64 for a 64-bit simhash")
+    widths = [64 // c + (1 if i < 64 % c else 0) for i in range(c)]
+    offsets = [sum(widths[:i]) for i in range(c)]
+    chunk_cols = []
+    for i in range(c):
+        bits = F.shiftrightunsigned(F.col("_sh"), offsets[i])
+        if widths[i] < 64:
+            bits = bits.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        chunk_cols.append(F.concat_ws(":", F.lit(str(i)), bits))
+    keys = sig.select("_id", "_sh", F.explode(F.array(*chunk_cols)).alias("chunk"))
+    l = keys.select("chunk", F.col("_id").alias("id_l"), F.col("_sh").alias("sh_l"))
+    r = keys.select("chunk", F.col("_id").alias("id_r"), F.col("_sh").alias("sh_r"))
+    return (
+        l.join(r, "chunk")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", H.hamming64(F.col("sh_l"), F.col("sh_r")).alias("hamming"))
+        .dropDuplicates(["id_l", "id_r"])
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_near_dups(
@@ -130,31 +158,16 @@ def simhash_near_dups(
     base = df.select(
         F.col(id_col).alias("_id"), H.simhash64(TX.tokens(norm)).alias("_sh")
     )
-    chunks = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(i)),
-                F.shiftright(F.col("_sh"), i * 16).bitwiseAND(F.lit(0xFFFF)),
-            )
-            for i in range(4)
-        ]
-    )
-    keys = base.select("_id", "_sh", F.explode(chunks).alias("chunk"))
-    l = keys.select("chunk", F.col("_id").alias("id_l"), F.col("_sh").alias("sh_l"))
-    r = keys.select("chunk", F.col("_id").alias("id_r"), F.col("_sh").alias("sh_r"))
-    return (
-        l.join(r, "chunk")
-        .where(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r", H.hamming64(F.col("sh_l"), F.col("sh_r")).alias("hamming"))
-        .dropDuplicates(["id_l", "id_r"])
-        .where(F.col("hamming") <= max_hamming)
-    )
+    return simhash_candidates(base, max_hamming)
 
 
 # ---------------------------------------------------------------------------
-# Embedding near-dup: cosine >= threshold via random-hyperplane LSH buckets
-# (see ann.py for the primitives); exact cosine verification inside buckets.
+# Embedding near-dup: cosine >= threshold via multi-table random-hyperplane
+# LSH (OR-construction): candidates collide in ANY of L tables, exact cosine
+# verification on candidates only. A single 12-plane table (round-1 design)
+# missed ~70% of pairs at threshold 0.95 — with L=8 tables x 6 planes the
+# per-pair miss probability at cos=0.9 is (1 - p_bit^6)^8 ~ 1.8%
+# (p_bit = 1 - acos(0.9)/pi ~ 0.856). One scan, one (table, bucket) join.
 # ---------------------------------------------------------------------------
 
 
@@ -163,19 +176,32 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_tables: int = 8,
+    planes_per_table: int = 6,
     dims: int = 64,
 ) -> DataFrame:
     from . import ann
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    bucketed = ann.with_hyperplane_bucket(base, "_v", n_planes=n_planes, dims=dims)
-    l = bucketed.select("bucket", F.col("_id").alias("id_l"), F.col("_v").alias("v_l"))
-    r = bucketed.select("bucket", F.col("_id").alias("id_r"), F.col("_v").alias("v_r"))
-    return (
-        l.join(r, "bucket")
+    # Narrow (table, bucket, id) rows ride the bucket join + pair dedupe;
+    # the 64-float vectors are fetched for CANDIDATES only (same shuffle
+    # diet as minhash_near_dups — vectors never ride a candidate exchange).
+    bucketed = ann.with_table_buckets(
+        base, "_v", n_tables=n_tables, planes_per_table=planes_per_table, dims=dims
+    ).select("table", "bucket", "_id")
+    l = bucketed.select("table", "bucket", F.col("_id").alias("id_l"))
+    r = bucketed.select("table", "bucket", F.col("_id").alias("id_r"))
+    cand = (
+        l.join(r, ["table", "bucket"])
         .where(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r", ann.cosine_sim(F.col("v_l"), F.col("v_r")).alias("cosine"))
+        .select("id_l", "id_r")
         .dropDuplicates(["id_l", "id_r"])
+    )
+    vl = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("v_l"))
+    vr = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("v_r"))
+    return (
+        cand.join(vl, "id_l")
+        .join(vr, "id_r")
+        .select("id_l", "id_r", ann.cosine_sim(F.col("v_l"), F.col("v_r")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -36,10 +36,14 @@ ATTR_COLS = [
 def offers_with_vectors(offers: DataFrame, idf: DataFrame) -> DataFrame:
     """Attach tf-idf sparse vectors; select only what scoring needs.
 
-    token_hashes: sorted xxhash64 of each distinct token — the pairwise
-    Jaccard runs on long arrays instead of string arrays (same value modulo
-    64-bit collisions; ~5x less allocation in the 60M-pair hot loop, and a
-    much smaller broadcast)."""
+    token_hashes: sorted 31-bit (xxhash64 & 0x7FFFFFFF) int hash of each
+    distinct token — the pairwise Jaccard runs on int arrays instead of
+    string arrays. Deliberate precision/bandwidth trade-off: int32 arrays
+    halve the memory traffic of the 10^8-pair hot loop vs bigint (memory
+    bandwidth is the measured scaling ceiling on this kernel), while a
+    31-bit collision within one ~40-token document is P ~ 40^2/2^32 ~ 4e-7 —
+    it shrinks that one doc's set size by 1 and perturbs its Jaccard by
+    <3%, orders of magnitude below the classifier's decision margin."""
     vec = S.with_tfidf_vector(offers, idf)
     base = offers.select(
         "record_id",

@@ -88,7 +88,18 @@ class ERPipeline:
         pending = sorted(set(range(n)) - done)
         if pending:
             if len(done) == 0:
-                MF.clear_stage(self.workdir, stage)  # stale-lineage markers
+                # Full rebuild (config/lineage change): clear markers AND the
+                # stage data dir. Dynamic partition overwrite only replaces
+                # part_ids present in the NEW data, so a partition that is now
+                # empty would otherwise keep stale rows from the old lineage
+                # while its fresh marker records rows=0 — corrupt mixed
+                # lineage on read.
+                MF.clear_stage(self.workdir, stage)
+                stage_dir = self.catalog.path(stage)
+                if self.catalog.fmt == "parquet" and os.path.isdir(stage_dir):
+                    import shutil
+
+                    shutil.rmtree(stage_dir)
             df = build()
             df_pending = df.where(F.col("part_id").isin([int(p) for p in pending]))
             self.catalog.write(

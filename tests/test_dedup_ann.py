@@ -40,6 +40,83 @@ def test_simhash_identical_and_near(spark):
     assert len(got) == 1 and got[0]["hamming"] == 0
 
 
+def test_simhash_candidates_full_recall_at_requested_distance(spark):
+    """Pigeonhole guarantee: with chunks = max_hamming + 1, EVERY pair within
+    the requested Hamming distance is found (round-1 bug: 4 fixed chunks only
+    guaranteed distance <= 3 while the query asked for 8)."""
+    rng = np.random.default_rng(7)
+
+    def signed64(v: int) -> int:
+        return v - 2**64 if v >= 2**63 else v
+
+    def flip_bits(v: int, n: int) -> int:
+        for bit in rng.choice(64, size=n, replace=False):
+            v ^= 1 << int(bit)
+        return v
+
+    rows, expected, beyond = [], set(), set()
+    nid = 0
+    for b in range(40):
+        base = int(rng.integers(0, 2**63, dtype=np.int64))
+        base_id = nid
+        rows.append((nid, base))
+        nid += 1
+        rows.append((nid, signed64(flip_bits(base, b % 9))))  # distance 0..8
+        expected.add((base_id, nid))
+        nid += 1
+        # a partner beyond the threshold (distance 12) must NOT be reported
+        rows.append((nid, signed64(flip_bits(base, 12))))
+        beyond.add((base_id, nid))
+        nid += 1
+    sig = spark.createDataFrame(rows, "_id long, _sh long")
+    got = {(r["id_l"], r["id_r"]) for r in DD.simhash_candidates(sig, 8).collect()}
+    assert expected <= got, f"missed planted pairs: {sorted(expected - got)[:5]}"
+    assert not (beyond & got)
+
+
+def test_embedding_near_dups_recall_vs_bruteforce(spark):
+    """Multi-table OR-construction recall >= 0.95 at threshold 0.9 against an
+    exact numpy all-pairs oracle (round-1 bug: single 12-plane table missed
+    ~70% of qualifying pairs)."""
+    rng = np.random.default_rng(3)
+    vecs = {}
+    nid = 0
+    for _ in range(50):
+        base = rng.standard_normal(64)
+        vecs[nid] = base
+        nid += 1
+        for scale in (0.15, 0.3):  # cosine ~0.99 / ~0.96
+            vecs[nid] = base + scale * rng.standard_normal(64)
+            nid += 1
+    for _ in range(100):
+        vecs[nid] = rng.standard_normal(64)
+        nid += 1
+    mat = np.stack([vecs[i] for i in range(nid)])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    truth = {
+        (i, j)
+        for i in range(nid)
+        for j in range(i + 1, nid)
+        if cos[i, j] >= 0.9
+    }
+    assert len(truth) >= 100  # the fixture must actually exercise recall
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(nid)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in DD.embedding_near_dups(df, threshold=0.9).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, f"embedding near-dup recall {recall:.3f}"
+    # precision is exact by construction (cosine verify), no false positives
+    assert got <= truth or all(
+        cos[i, j] >= 0.9 - 1e-6 for (i, j) in got - truth
+    )
+
+
 def test_ngram_jaccard_known(spark):
     df = spark.createDataFrame([("abcd", "bcde")], "a string, b string")
     # 3-grams: {abc,bcd} vs {bcd,cde} → 1/3

@@ -8,6 +8,15 @@ import os
 import duckdb
 import pytest
 
+
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
 import __spark_entry__ as E
 
 SF_DIR = os.environ.get("SPARK_ORACLE_SF_DIR", "/root/testdata/sf0.001")
@@ -27,12 +36,13 @@ def _duck():
 
 
 def _norm(v):
+    # No int->float coercion: the driver's canonicalizer compares dtypes as
+    # fetched, so a DuckDB HUGEINT (float64 in pandas) vs Spark BIGINT is a
+    # real mismatch — oracle_sql() must CAST instead (see __spark_entry__.py).
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return round(v, 6)
-    if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
     return v
 
 
@@ -54,9 +64,14 @@ def test_query_matches_oracle(spark, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck()
-    res = con.execute(ORACLES[name])
-    dcols = [c[0] for c in res.description]
-    drows = res.fetchall()
+    # Fetch through pandas like the driver does: DuckDB HUGEINT becomes
+    # float64 here, so un-cast integer sums fail locally too.
+    pdf = con.execute(ORACLES[name]).df()
+    dcols = list(pdf.columns)
+    drows = [
+        tuple(None if pd_isna(v) else v for v in r)
+        for r in pdf.itertuples(index=False, name=None)
+    ]
     con.close()
 
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
@@ -74,6 +89,23 @@ def test_rows_only_queries_execute(spark):
         df = q(spark, SF_DIR)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_all_queries_return_atomic_columns(spark):
+    """The driver's order-insensitive canonicalizer (pandas factorize/hash)
+    crashes on array/map/struct cells — every queries() entry must return
+    only atomic column types (round 1 regression: doc_fingerprint)."""
+    from pyspark.sql import types as T
+
+    for name, q in E.queries().items():
+        if name == "mini_er":
+            continue
+        df = q(spark, SF_DIR)
+        for f in df.schema.fields:
+            assert isinstance(
+                f.dataType,
+                (T.AtomicType, T.NullType),
+            ), f"{name}.{f.name}: non-atomic type {f.dataType}"
 
 
 def test_entry_smoke(spark):

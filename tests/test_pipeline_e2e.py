@@ -93,6 +93,29 @@ def test_resume_after_kill_identical(run, spark, tiny_spark):
     assert res2.metrics.f1 >= 0.99
 
 
+def test_full_rebuild_clears_stale_partitions(spark, tmp_path):
+    """Lineage change -> full rebuild must wipe the stage data dir: dynamic
+    partition overwrite only rewrites part_ids present in the NEW data, so a
+    now-empty partition would otherwise keep rows from the old lineage."""
+    pipe = ERPipeline(spark, str(tmp_path))
+
+    def build_v1():
+        return spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 1)], "id long, v string, part_id int"
+        )
+
+    assert pipe._checkpoint_stage("toy", "lineage-v1", build_v1).count() == 2
+
+    def build_v2():  # part 1 is empty under the new lineage
+        return spark.createDataFrame([(3, "c", 0)], "id long, v string, part_id int")
+
+    got = {
+        (r["id"], r["part_id"])
+        for r in pipe._checkpoint_stage("toy", "lineage-v2", build_v2).collect()
+    }
+    assert got == {(3, 0)}, f"stale rows leaked into rebuilt stage: {got}"
+
+
 def test_manifests_carry_lineage_and_metrics(run):
     pipe, _, wd = run
     all_m = MF.read_all_metrics(wd)

@@ -30,10 +30,17 @@ from entity_matching_in_online_retail_spark.operators import blocking as B  # no
 from entity_matching_in_online_retail_spark.operators import cluster as C  # noqa: E402
 from entity_matching_in_online_retail_spark.operators import dedup as DD  # noqa: E402
 from entity_matching_in_online_retail_spark.operators import model as M  # noqa: E402
+from entity_matching_in_online_retail_spark.operators import multimodal as MM  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _export_dir(sf_dir: str, name: str) -> str:
+    """Deterministic per-sf scratch dir for source round-trip queries."""
+    tag = os.path.basename(os.path.abspath(sf_dir))
+    return os.path.join("/tmp", "spark_graft_export", tag, name)
 
 
 # ---------------------------------------------------------------------------
@@ -480,6 +487,79 @@ def q_pivot(spark, d):
     )
 
 
+def q_rank_dense(spark, d):
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc())
+    return (
+        _t(spark, d, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rnk") <= 10)
+    )
+
+
+def q_csv_roundtrip(spark, d):
+    """A5: write CSV with header, read back with an explicit schema,
+    aggregate — the oracle runs the same aggregate on the parquet source,
+    so any column/row corruption in the CSV path fails the value hash."""
+    out = _export_dir(d, "docs_csv")
+    docs = _t(spark, d, "documents").select("doc_id", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_jsonl_roundtrip(spark, d):
+    """A5: JSON-lines write + schema'd read-back (includes the text column —
+    JSON escaping must round-trip it byte-identically for the hash to pass)."""
+    out = _export_dir(d, "docs_jsonl")
+    docs = _t(spark, d, "documents").select("doc_id", "lang", "text", "n_chars")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, text string, n_chars bigint"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_ordered_export(spark, d):
+    """A6: deterministic global sort -> single-file CSV export; read back and
+    prove file order via a single-partition sequence id."""
+    out = _export_dir(d, "orders_sorted")
+    top = (
+        _t(spark, d, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("price"))
+        .limit(100)
+    )
+    top.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("o_orderkey bigint, price double")
+        .option("header", True)
+        .csv(out)
+        .coalesce(1)
+    )
+    return (
+        back.withColumn("seq", F.monotonically_increasing_id())
+        .where(F.col("seq") < 10)
+        .select("seq", "o_orderkey", "price")
+    )
+
+
 def q_from_json(spark, d):
     parsed = F.from_json("props", "k int")
     return _t(spark, d, "events").agg(
@@ -563,6 +643,65 @@ def q_embedding_near_dups(spark, d):
     return DD.embedding_near_dups(both, threshold=0.95)
 
 
+def q_sample_seed(spark, d):
+    # S2: seeded Bernoulli sample — no SQL oracle (sampling is partition-
+    # dependent); the aggregate bounds are asserted in pytest instead.
+    s = _t(spark, d, "documents").sample(0.2, seed=7)
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# --------------------- multimodal rows-only queries -----------------------
+# Deterministic synthetic media table (seeded; no external data). The decode/
+# resize/frame-sample plumbing is mapInPandas over binary payloads — exactly
+# the shape a real codec UDF would use (operators/multimodal.py).
+
+
+def _media_table(spark, n: int = 240):
+    return spark.createDataFrame(MM.make_media_rows(n), MM.MEDIA_SCHEMA)
+
+
+def q_media_image_meta(spark, d):
+    meta = MM.decode_image_meta(_media_table(spark))
+    return meta.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+
+
+def q_media_frames(spark, d):
+    frames = MM.sample_frames(_media_table(spark), every=2)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_id").alias("n_videos"),
+        F.sum("frame_bytes").alias("sum_bytes"),
+    )
+
+
+def q_media_features(spark, d):
+    feats = MM.extract_features(_media_table(spark), dims=16)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.element_at("features", 1)), 4).alias("sum_dim0"),
+    )
+
+
+def q_media_resize(spark, d):
+    resized = MM.resize_image(_media_table(spark), 8, 6)
+    meta = MM.decode_image_meta(resized)
+    return meta.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+
+
 def q_mini_er(spark, d):
     return mini_er(spark, d)
 
@@ -613,6 +752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "pivot": q_pivot,
         "from_json": q_from_json,
+        "rank_dense": q_rank_dense,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "ordered_export": q_ordered_export,
         # rows-only (no oracle entry): hash-based / iterative operators
         "approx_count_distinct": q_approx_count_distinct,
         "soundex": q_soundex,
@@ -622,6 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        "sample_seed": q_sample_seed,
+        "media_image_meta": q_media_image_meta,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "mini_er": q_mini_er,
     }
 
@@ -830,6 +978,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
             "count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
             "THEN 1 END) AS n_big FROM events"
+        ),
+        "rank_dense": (
+            "SELECT lang, doc_id, rnk, drnk FROM ("
+            "SELECT lang, doc_id, "
+            "rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk, "
+            "dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS drnk "
+            "FROM documents) WHERE rnk <= 10"
+        ),
+        # The roundtrip queries export to CSV/JSONL and read back; the oracle
+        # aggregates the original parquet, so the hash check proves the
+        # exported bytes reparse to exactly the source rows.
+        "csv_roundtrip": (
+            "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_len, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
+        ),
+        "ordered_export": (
+            "SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 "
+            "AS BIGINT) AS seq, o_orderkey, round(o_totalprice, 4) AS price "
+            "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "ngram_jaccard": (
+            "WITH t AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            r"'[^\p{L}\p{N} ]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN length(norm) >= 3 THEN "
+            "list_distinct([substring(norm, i, 3) for i in generate_series(1, length(norm) - 2)]) "
+            "ELSE [norm] END AS grams FROM t) "
+            "SELECT a.doc_id AS id_l, b.doc_id AS id_r, "
+            "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.grams, b.grams))), 6) AS j3 "
+            "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
         ),
         "ann_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "

@@ -61,14 +61,18 @@ def prepare_inputs(entities: int, workdir: str) -> dict:
 
 
 def run_once(cores: int, workdir: str, stage: str) -> dict:
-    p = subprocess.run(
-        [
-            sys.executable, os.path.join(REPO, "bench_stage_runner.py"),
-            "--master", f"local[{cores}]", "--total-cores", str(cores),
-            "--workdir", workdir, "--stage", stage,
-        ],
-        capture_output=True, text=True, timeout=3600,
-    )
+    cmd = [
+        sys.executable, os.path.join(REPO, "bench_stage_runner.py"),
+        "--master", f"local[{cores}]", "--total-cores", str(cores),
+        "--workdir", workdir, "--stage", stage,
+    ]
+    # Short stages (block/cc, O(10s)) get one untimed warmup pass per JVM:
+    # planning + codegen + JIT are ~6s regardless of parallelism and would
+    # otherwise dominate their scaling ratio. The scoring headline (O(100s)
+    # at local[2]) is measured cold — fixed costs are <4% there.
+    if stage in ("block", "cc"):
+        cmd.append("--warmup")
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"runner failed (local[{cores}], {stage}):\n{p.stderr[-3000:]}")

@@ -32,6 +32,14 @@ def main() -> int:
     ap.add_argument("--total-cores", type=int, required=True)
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--stage", choices=["block", "score", "cc"], required=True)
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run the stage once untimed first: Catalyst planning + codegen "
+        "compile + JIT are a ~6s fixed driver cost identical at every "
+        "parallelism level, which poisons the scaling ratio of short stages "
+        "while amortizing to nothing at production scale",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -82,10 +90,22 @@ def main() -> int:
         def fn():
             _noop(C.connected_components(M.match_edges(scored, tau)))
 
+    if args.warmup:
+        fn()
     t0 = time.time()
     fn()
     sec = round(time.time() - t0, 2)
-    print(json.dumps({"stage": args.stage, "sec": sec, "n_pairs": n_pairs, "master": args.master}))
+    print(
+        json.dumps(
+            {
+                "stage": args.stage,
+                "sec": sec,
+                "n_pairs": n_pairs,
+                "master": args.master,
+                "warmup": args.warmup,
+            }
+        )
+    )
     spark.stop()
     return 0
 

@@ -8,6 +8,7 @@ from hypothesis import strategies as st
 from entity_matching_in_online_retail_spark.functions.similarity import (
     jaro,
     jaro_winkler,
+    jaro_winkler_batch,
 )
 from entity_matching_in_online_retail_spark.functions.text import extract_text_bytes
 from entity_matching_in_online_retail_spark.operators.cluster import union_find_oracle
@@ -28,6 +29,20 @@ def test_jw_symmetric_and_bounded(a, b):
 @given(TEXT)
 def test_jw_identity(a):
     assert jaro_winkler(a, a) == 1.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=40))
+def test_jw_batch_equals_scalar(pairs):
+    """The vectorized numpy kernel must be bit-compatible with the scalar
+    reference (which the DuckDB oracle differentially checks)."""
+    sa = [a for a, _ in pairs]
+    sb = [b for _, b in pairs]
+    got = jaro_winkler_batch(sa, sb)
+    want = np.array([jaro_winkler(a, b) for a, b in pairs])
+    assert np.allclose(got, want, atol=1e-12), (
+        list(zip(sa, sb, got, want))[:3]
+    )
 
 
 @settings(max_examples=100, deadline=None)

@@ -4,9 +4,13 @@ entry(spark)   — flagship mini-ER run on sf0.001 documents.
 queries()      — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()   — DuckDB-equivalent SQL per query (same column aliases; the
                  driver compares row counts, schemas, and order-insensitive
-                 value hashes at sf0.01). Non-SQL-expressible ops (MinHash
-                 near-dup, SimHash, fingerprints, the ER pipeline itself) are
-                 covered by queries() rows-only checks + pytest oracles.
+                 value hashes at sf0.01). Non-SQL-expressible ops (MinHash/
+                 SimHash/embedding near-dup, ANN-LSH, seeded sampling,
+                 multimodal, the ER pipeline itself) are covered by
+                 queries() rows-only checks + pytest oracles. Every query
+                 returns only ATOMIC column types — the driver's
+                 canonicalizer cannot hash array cells (enforced by
+                 tests/test_entry_oracle.py::test_all_queries_return_atomic_columns).
 """
 
 from __future__ import annotations
@@ -487,6 +491,34 @@ def q_pivot(spark, d):
     )
 
 
+def q_domain_key(spark, d):
+    # F6 registrable-domain key. No fixture table carries urls, so synthesize
+    # deterministic urls covering both branches (ccSLD 3-label vs plain
+    # 2-label); the oracle computes the EXPECTED domain directly, so this
+    # differentially checks parse_url + the suffix logic.
+    docs = _t(spark, d, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://www.shop"),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit(".co.uk")).otherwise(
+            F.lit(".com")
+        ),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.select(TX.domain_key(url).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_score(spark, d):
+    docs = _t(spark, d, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text"), with_nfkc=False))
+    return docs.select("doc_id", TS.quality_score(F.col("text"), toks).alias("q"))
+
+
 def q_rank_dense(spark, d):
     w = W.partitionBy("lang").orderBy(F.col("n_chars").desc())
     return (
@@ -752,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "pivot": q_pivot,
         "from_json": q_from_json,
+        "domain_key": q_domain_key,
+        "quality_score": q_quality_score,
         "rank_dense": q_rank_dense,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -978,6 +1012,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
             "count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
             "THEN 1 END) AS n_big FROM events"
+        ),
+        "domain_key": (
+            "SELECT CASE WHEN doc_id % 3 = 0 "
+            "THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' "
+            "ELSE 'shop' || CAST(doc_id % 7 AS VARCHAR) || '.com' END AS domain, "
+            "count(*) AS n FROM documents GROUP BY 1"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, text, "
+            "list_distinct(list_filter(string_split(trim(regexp_replace("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g'), "
+            r"'\s+', ' ', 'g')), ' '), tk -> length(tk) > 0)) AS toks "
+            "FROM documents), "
+            "m AS (SELECT doc_id, text, CASE WHEN len(toks) > 0 THEN "
+            "CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) / len(toks) "
+            "ELSE 0.0 END AS wl, "
+            r"CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha, "
+            r"CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct "
+            "FROM t) "
+            "SELECT doc_id, round(0.35 * alpha + 0.25 * (1.0 - least(punct * 4.0, 1.0)) "
+            "+ 0.2 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) "
+            "+ 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END), 6) AS q "
+            "FROM m"
         ),
         "rank_dense": (
             "SELECT lang, doc_id, rnk, drnk FROM ("

@@ -675,6 +675,117 @@ def q_embedding_near_dups(spark, d):
     return DD.embedding_near_dups(both, threshold=0.95)
 
 
+# --------------------- streaming queries (availableNow micro-batch) -------
+# Each runs a Structured Streaming job to completion inside the callable
+# (file source -> watermark -> sink), then returns the sink as a batch
+# DataFrame — so the driver can correctness-check streaming semantics.
+
+
+def _stream_in_dir(d: str, base: str) -> str:
+    """The streaming file source needs a DIRECTORY; the fixture is a single
+    parquet file — symlink it into a fresh input dir."""
+    indir = os.path.join(base, "in")
+    os.makedirs(indir, exist_ok=True)
+    os.symlink(
+        os.path.abspath(os.path.join(d, "events.parquet")),
+        os.path.join(indir, "events.parquet"),
+    )
+    return indir
+
+
+def _stream_run(spark, d, name: str, runner, timeout: int | None = None, **kw):
+    import shutil
+
+    base = _export_dir(d, name)
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    q = runner(spark, _stream_in_dir(d, base), out, ckpt, **kw)
+    if timeout is None:
+        q.awaitTermination()
+    else:
+        # stateful processing-time timeouts keep scheduling micro-batches
+        # past the availableNow drain — poll until a no-data batch has run
+        # (all input processed and flushed), then stop; hard bound as backstop
+        import time as _time
+
+        deadline = _time.time() + timeout
+        while _time.time() < deadline and q.isActive:
+            lp = q.lastProgress
+            if (
+                lp is not None
+                and lp.get("numInputRows", 1) == 0
+                and not q.status.get("isDataAvailable", True)
+            ):
+                break
+            _time.sleep(1.0)
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out)
+
+
+def q_stream_windowed_agg(spark, d):
+    """2.K: tumbling-window streaming aggregation with a 2h watermark;
+    append mode emits exactly the windows whose end <= max(ts) - 2h (the
+    oracle replicates that closure rule in SQL)."""
+    from entity_matching_in_online_retail_spark.streaming.ingest import (
+        run_windowed_counts_once,
+    )
+
+    done = _stream_run(spark, d, "stream_win", run_windowed_counts_once)
+    return done.select(
+        F.date_format("window_start", _TS).alias("window_start"),
+        F.date_format("window_end", _TS).alias("window_end"),
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+def q_stream_dedupe(spark, d):
+    """2.K: dropDuplicatesWithinWatermark keyed on user_id; the surviving-row
+    choice is arbitrary, so the checked metric is the user count (invariant)."""
+    from entity_matching_in_online_retail_spark.streaming.ingest import (
+        read_events_stream,
+    )
+    import shutil
+
+    base = _export_dir(d, "stream_dedupe")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = read_events_stream(spark, _stream_in_dir(d, base))
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_stream_sessionize(spark, d):
+    # X4 stateful sessionization (applyInPandasWithState); session closure
+    # interacts with processing-time timeouts, so rows-only by contract.
+    from entity_matching_in_online_retail_spark.streaming.stateful import (
+        run_sessionize_once,
+    )
+
+    done = _stream_run(
+        spark, d, "stream_sessions", run_sessionize_once, timeout=90, gap_seconds=1800
+    )
+    return done.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_sample_seed(spark, d):
     # S2: seeded Bernoulli sample — no SQL oracle (sampling is partition-
     # dependent); the aggregate bounds are asserted in pytest instead.
@@ -799,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        "stream_windowed_agg": q_stream_windowed_agg,
+        "stream_dedupe": q_stream_dedupe,
+        "stream_sessionize": q_stream_sessionize,
         "sample_seed": q_sample_seed,
         "media_image_meta": q_media_image_meta,
         "media_frames": q_media_frames,
@@ -1069,6 +1183,22 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.grams, b.grams))), 6) AS j3 "
             "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
+        ),
+        # Streaming windowed agg: append mode emits exactly the windows whose
+        # end has passed the event-time watermark (max(ts) - 2h) when the
+        # availableNow run drains.
+        "stream_windowed_agg": (
+            "WITH m AS (SELECT max(ts) AS mx FROM events), "
+            "w AS (SELECT date_trunc('hour', ts) AS ws, event_type, "
+            "count(*) AS n, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2) "
+            f"SELECT strftime(ws, '{_TS_DUCK}') AS window_start, "
+            f"strftime(ws + INTERVAL 1 HOUR, '{_TS_DUCK}') AS window_end, "
+            "event_type, n, total_value FROM w, m "
+            "WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR"
+        ),
+        "stream_dedupe": (
+            "SELECT count(DISTINCT user_id) AS n_users FROM events"
         ),
         "ann_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "

@@ -21,6 +21,16 @@ from ..fixtures import WEB_PAGES_DDL
 from ..operators.normalize import normalize_web_pages
 
 
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_DDL).parquet(input_path)
+
+
 def read_web_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(WEB_PAGES_DDL)
@@ -95,11 +105,7 @@ def run_windowed_counts_once(
 ):
     """File-source streaming windowed aggregation, availableNow, parquet sink
     (append mode emits only finalized windows past the watermark)."""
-    schema = (
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string"
-    )
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = read_events_stream(spark, events_dir)
     agg = windowed_event_counts(stream, window=window)
     return (
         agg.writeStream.outputMode("append")

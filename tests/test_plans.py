@@ -76,6 +76,53 @@ def test_scoring_plan_shape(spark, tiny_spark, tmp_path_factory):
     assert str(DEFAULT_MATCHER.coefficients[0]) in plan_of(scored, "extended")
 
 
+def test_candidate_pairs_broadcasts_hot_keys(spark):
+    """The small/hot split must broadcast the hot-key set (semi/anti), never
+    shuffle the full block table against stats."""
+    from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
+    from entity_matching_in_online_retail_spark.operators import blocking as B
+
+    blocks = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(100)], "record_id long, block_key string"
+    )
+    plan = plan_of(B.candidate_pairs(blocks, DEFAULT_CONFIG.blocking))
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_lsh_topk_single_corpus_scan(spark):
+    """Single-pass multi-table LSH: the corpus parquet must be scanned ONCE
+    for bucketing (posexplode over all table buckets), not once per table."""
+    import re
+
+    from entity_matching_in_online_retail_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    plan = plan_of(ann.lsh_topk(q, emb, k=2, n_tables=12, planes_per_table=4))
+    # scans: corpus-bucketing, query-bucketing, and the two re-rank fetches —
+    # far fewer than the 12+ of the per-table union design
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 5, f"{n_scans} corpus scans (single-pass regression)"
+    assert len(re.findall(r"\(\d+\) Generate", plan)) >= 2  # posexplode both sides
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tree_matcher_plan_is_literal_case_tree(spark):
+    """GBT fold: the scoring plan is pure conditional arithmetic (CASE WHEN
+    thresholds as literals), no Python, no mllib transform."""
+    from entity_matching_in_online_retail_spark.operators import model as M2
+
+    tm = M2.TreeMatcher(
+        feature_cols=("jaccard",),
+        trees=((1.0, ("split", 0, 0.5, ("leaf", -1.0), ("leaf", 1.0))),),
+    )
+    df = spark.createDataFrame([(0.3,), (0.9,)], "jaccard double")
+    plan = plan_of(M2.score_pairs(df, tm), "extended")
+    assert "CASE WHEN" in plan and "0.5" in plan
+    assert "EvalPython" not in plan
+
+
 def test_tfidf_scan_pruned_in_cheap_phase(spark, tiny_spark, tmp_path_factory):
     """Phase-1 (cheap features) must not read the tf-idf vector columns."""
     from entity_matching_in_online_retail_spark.operators.normalize import normalize_web_pages

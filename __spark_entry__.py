@@ -657,6 +657,16 @@ def q_ann_lsh(spark, d):
     return ann.lsh_topk(queries, emb, k=3)
 
 
+def q_ann_ivf(spark, d):
+    # IVF coarse-quantizer ANN: distributed-KMeans cells + nprobe probing +
+    # exact re-rank (rows-only: k-means is iterative, no SQL oracle).
+    emb = _t(spark, d, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ann.ivf_topk(queries, emb, k=3, n_cells=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_embedding_near_dups(spark, d):
     # The embeddings fixture has no qualifying pairs (max pairwise cosine
     # ~0.49), so plant deterministic near-dups Spark-side: one copy per base
@@ -909,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_dedupe": q_stream_dedupe,

@@ -122,6 +122,93 @@ def brute_force_topk(
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame, vec_col: str, n_cells: int, dims: int, seed: int = ANN_SEED
+) -> list[list[float]]:
+    """Coarse quantizer: pyspark.ml KMeans on the (L2-normalized) corpus.
+    Training is distributed; the result is n_cells x dims plain floats."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normed = corpus.select(
+        array_to_vector(
+            F.transform(vec_col, lambda x: x / l2_norm(F.col(vec_col)))
+        ).alias("_features")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", maxIter=20)
+    model = km.fit(normed)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _cell_dists(vec_col: str, centroids: list[list[float]]) -> "F.Column":
+    """array<double> of (negative cosine) distances to each centroid —
+    centroid coordinates are plan literals, evaluation is JVM-side."""
+    denom = l2_norm(F.col(vec_col))
+    dists = []
+    for c in centroids:
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = float(np.linalg.norm(c)) or 1.0
+        dists.append(-dot(F.col(vec_col), plane) / (denom * cnorm))
+    return F.array(*dists)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dims: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> corpus rows land
+    in their nearest-centroid cell, queries probe their `nprobe` nearest
+    cells, exact cosine re-rank inside probed cells only.
+
+    The scale path complement to lsh_topk: at 10^12 docs the cell id becomes
+    the Iceberg partition key, so a query touches nprobe/n_cells of the
+    corpus. Centroids are trained once (distributed KMeans) and folded into
+    the plan as literals — nothing is broadcast at runtime; pass `centroids`
+    to reuse a trained quantizer."""
+    if centroids is None:
+        centroids = _kmeans_centroids(corpus, vec_col, n_cells, dims)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+
+    # corpus: argmin cell = position of the min distance
+    cdist = _cell_dists("_cv", centroids)
+    c_cells = c.withColumn(
+        "cell",
+        F.array_position(cdist, F.array_min(cdist)).cast("int") - 1,
+    ).select("neighbor_id", "cell")
+
+    # queries: nprobe nearest cells via sorted (dist, idx) structs
+    qdist = _cell_dists("_qv", centroids)
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.arrays_zip(qdist.alias("d"), idx.alias("i"))
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    q_cells = q.select(
+        "query_id", F.explode(probed).alias("_p")
+    ).select("query_id", F.col("_p.i").cast("int").alias("cell"))
+
+    cands = q_cells.join(c_cells, "cell").select("query_id", "neighbor_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -146,6 +146,40 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_ann_ivf_planted_near_dups(spark):
+    """A near-exact copy must land in the same (or probed) cell and be
+    returned as the top neighbor."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in v + 0.05 * rng.standard_normal(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 60)
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann.ivf_topk(queries, df, k=1, n_cells=8, nprobe=2).collect()
+    }
+    hits = sum(1 for qid, nid in got.items() if nid == qid + 1000)
+    assert hits >= 54, f"only {hits}/60 planted copies found as top-1"
+
+
 def test_embedding_near_dups_planted(spark):
     rng = np.random.default_rng(0)
     v = rng.standard_normal(64)

@@ -855,6 +855,19 @@ def q_media_resize(spark, d):
     )
 
 
+def q_near_dup_groups(spark, d):
+    # MinHash near-dups -> transitive closure -> canonical doc per group
+    # (iterative CC: rows-only). Aggregate so the row is informative: total
+    # docs, groups, and docs a dedup pass would drop.
+    docs = _t(spark, d, "documents")
+    g = DD.near_dup_groups(docs, threshold=0.6)
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
 def q_mini_er(spark, d):
     return mini_er(spark, d)
 
@@ -929,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
+        "near_dup_groups": q_near_dup_groups,
         "mini_er": q_mini_er,
     }
 

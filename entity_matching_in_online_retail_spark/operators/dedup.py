@@ -162,6 +162,37 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup GROUPS: near-dup pairs -> transitive closure -> one canonical doc
+# per group (what a training-data pipeline actually applies: keep the
+# min-id representative, drop the rest). Reuses the large-star/small-star
+# connected components of the ER clusterer.
+# ---------------------------------------------------------------------------
+
+
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_id, group_id, keep): every doc labeled with its near-dup group
+    (group_id = min doc_id of the transitive closure; singletons are their
+    own group), keep = True for exactly one doc per group."""
+    from .cluster import assign_clusters, connected_components
+
+    pairs = minhash_near_dups(df, id_col=id_col, text_col=text_col, threshold=threshold)
+    comps = connected_components(pairs.select("id_l", "id_r"))
+    ids = df.select(F.col(id_col).alias("record_id"))
+    assigned = assign_clusters(ids, comps).select(
+        F.col("record_id").alias(id_col), F.col("cluster_id").alias("group_id")
+    )
+    w = W.partitionBy("group_id").orderBy(F.col(id_col))
+    return assigned.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup: cosine >= threshold via multi-table random-hyperplane
 # LSH (OR-construction): candidates collide in ANY of L tables, exact cosine
 # verification on candidates only. A single 12-plane table (round-1 design)

@@ -50,6 +50,19 @@ def test_cap_blocks(spark):
     assert capped.where(F.col("block_key") == "k2").count() == 1
 
 
+def test_hot_block_pairs_bounded_by_cap(spark):
+    """Skew bound: a pathological mega-block emits exactly C(cap,2) pairs
+    (the cap keeps the `cap` smallest ids), never O(s^2) of its raw size."""
+    cfg = BlockingConfig(block_cap=20, salt_threshold=8, salt_buckets=4)
+    rows = [(i, "hotkey") for i in range(5000)] + [(10_000 + i, f"k{i}") for i in range(10)]
+    blocks = spark.createDataFrame(rows, "record_id long, block_key string")
+    capped = B.cap_blocks(blocks, cfg)
+    pairs = B.candidate_pairs(capped, cfg)
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    expect = {(i, j) for i in range(20) for j in range(i + 1, 20)}
+    assert got == expect  # exactly C(20,2)=190 pairs, from the 20 smallest ids
+
+
 def test_salted_pairs_equal_plain_pairs(spark):
     """J7 equivalence: salted self-join on hot blocks produces exactly the
     pair set of the naive self-join — no pair lost, none duplicated."""

@@ -146,6 +146,38 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_near_dup_groups_transitive_and_one_keep(spark):
+    """A~B and B~C (but A!~C directly) must land in ONE group via transitive
+    closure; exactly one keep per group; group_id = min member id."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    b = a.replace("kappa", "kappa2")          # ~0.85 jaccard vs a
+    c = b.replace("alpha", "alpha2").replace("beta", "beta2")  # near b, farther from a
+    far = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, far), (5, far + " thirteen")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_l"], r["id_r"])
+        for r in DD.minhash_near_dups(df, threshold=0.6).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs
+    out = {r["doc_id"]: (r["group_id"], r["keep"]) for r in DD.near_dup_groups(df, threshold=0.6).collect()}
+    assert len(out) == 5
+    # union-find oracle over the emitted pairs defines the expected partition
+    from entity_matching_in_online_retail_spark.operators.cluster import union_find_oracle
+
+    comp = union_find_oracle(list(pairs))
+    groups: dict[int, set] = {}
+    for doc in out:
+        root = comp.get(doc, doc)
+        groups.setdefault(root, set()).add(doc)
+    for members in groups.values():
+        gids = {out[m][0] for m in members}
+        assert gids == {min(members)}, (members, gids)
+        assert sum(1 for m in members if out[m][1]) == 1  # exactly one keep
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10)

@@ -855,6 +855,27 @@ def q_media_resize(spark, d):
     )
 
 
+def q_cc_components(spark, d):
+    """C1 oracle-checked: large-star/small-star connected components on a
+    deterministic graph derived from doc_ids; large-star/small-star converges
+    to the component MINIMUM as cluster id, which DuckDB reproduces with a
+    recursive min-label reachability CTE."""
+    docs = _t(spark, d, "documents").select("doc_id").where(F.col("doc_id") < 300)
+    edges = docs.select(
+        F.col("doc_id").alias("id_l"),
+        (F.col("doc_id") + F.pmod("doc_id", F.lit(7)) + 1).alias("id_r"),
+    )
+    comps = C.connected_components(edges)
+    nodes = (
+        edges.select(F.col("id_l").alias("record_id"))
+        .unionByName(edges.select(F.col("id_r").alias("record_id")))
+        .distinct()
+    )
+    return C.assign_clusters(nodes, comps).select(
+        F.col("record_id").alias("node"), F.col("cluster_id").alias("component")
+    )
+
+
 def q_near_dup_groups(spark, d):
     # MinHash near-dups -> transitive closure -> canonical doc per group
     # (iterative CC: rows-only). Aggregate so the row is informative: total
@@ -943,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "near_dup_groups": q_near_dup_groups,
+        "cc_components": q_cc_components,
         "mini_er": q_mini_er,
     }
 
@@ -1208,6 +1230,21 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.grams, b.grams))), 6) AS j3 "
             "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
+        ),
+        # Connected components differential oracle: min-label reachability via
+        # recursive CTE == the component minimum that large-star/small-star
+        # converges to.
+        "cc_components": (
+            "WITH RECURSIVE "
+            "e AS (SELECT doc_id AS src, doc_id + (doc_id % 7) + 1 AS dst "
+            "FROM documents WHERE doc_id < 300), "
+            "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "nodes AS (SELECT DISTINCT src AS node FROM sym), "
+            "walk(node, label) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node) "
+            "SELECT node, min(label) AS component FROM walk GROUP BY node"
         ),
         # Streaming windowed agg: append mode emits exactly the windows whose
         # end has passed the event-time watermark (max(ts) - 2h) when the

@@ -57,7 +57,7 @@ class ScoringConfig:
 class PipelineConfig:
     # Bump on stage-output schema/semantics changes: part of the config hash,
     # so existing checkpoints are invalidated on upgrade.
-    version: str = "2"
+    version: str = "3"
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     lang_filter: str = "en"

@@ -109,12 +109,18 @@ def jaro_winkler(
 
 
 def _pack_chars(strs: list[str], width: int) -> np.ndarray:
-    """(N, width) uint32 codepoint matrix, zero-padded (0 is not a valid
-    codepoint in real text, so it doubles as the padding sentinel)."""
+    """(N, width) uint32 matrix of codepoints SHIFTED BY +1, zero-padded.
+
+    The shift keeps 0 as an unambiguous padding sentinel even when the text
+    contains U+0000 (plausible in scraped web text); all downstream uses are
+    equality comparisons between two packed matrices, which the uniform
+    shift preserves. Max codepoint 0x10FFFF + 1 still fits in uint32."""
     out = np.zeros((len(strs), width), dtype=np.uint32)
     for k, x in enumerate(strs):
         if x:
-            out[k, : len(x)] = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
+            out[k, : len(x)] = (
+                np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32) + 1
+            )
     return out
 
 

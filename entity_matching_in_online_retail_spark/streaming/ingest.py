@@ -84,7 +84,10 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # No rounding here: consumers round ONCE at presentation time.
+            # (An inner round(…,6) under an outer round(…,4) differs from a
+            # single round at tie boundaries — a latent oracle flake.)
+            F.sum("value").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

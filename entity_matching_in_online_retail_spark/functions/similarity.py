@@ -224,16 +224,20 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def fit_idf(offers: DataFrame, id_col: str = "record_id", tokens_col: str = "tokens") -> DataFrame:
-    """Return (token string, idf double). Binary tf over distinct token sets."""
-    n_docs = offers.count()
+    """Return (token string, idf double). Binary tf over distinct token sets.
+
+    N (the corpus size) is folded in as a broadcast 1-row aggregate instead
+    of a driver-side .count() — the whole fit stays one lazy plan with no
+    extra action/pass over offers."""
+    n_docs = offers.agg(F.count(F.lit(1)).alias("_n"))
     df_tok = (
         offers.select(F.explode(tokens_col).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    return df_tok.select(
+    return df_tok.crossJoin(F.broadcast(n_docs)).select(
         "token",
-        (F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        (F.log((F.col("_n").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
     )
 
 

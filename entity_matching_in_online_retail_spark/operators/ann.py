@@ -130,9 +130,11 @@ def _kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    normed = corpus.select(
+    # Hoist the norm out of the per-element lambda: transform(vec, x -> x /
+    # l2_norm(vec)) would re-evaluate the aggregate per element — O(d^2)/row.
+    normed = corpus.withColumn("_norm", l2_norm(F.col(vec_col))).select(
         array_to_vector(
-            F.transform(vec_col, lambda x: x / l2_norm(F.col(vec_col)))
+            F.transform(vec_col, lambda x: x / F.col("_norm"))
         ).alias("_features")
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="_features", maxIter=20)

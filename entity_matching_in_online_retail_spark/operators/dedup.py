@@ -121,13 +121,23 @@ def minhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
-def simhash_candidates(sig: DataFrame, max_hamming: int) -> DataFrame:
-    """(id_l, id_r, hamming) pairs within max_hamming, from a (_id, _sh)
-    signature table. Chunk count = max_hamming + 1 so the pigeonhole recall
-    guarantee covers exactly the requested distance."""
+# Pigeonhole blocking needs max_hamming+1 chunks of a 64-bit signature; chunk
+# width w = 64/(max_hamming+1) gives 2^w distinct keys per position, and the
+# expected candidate volume on n near-uniform signatures is
+#   (max_hamming+1) * C(n, 2) / 2^w
+# — at max_hamming=4 (w=12..13) that is ~n^2/4000 per position (fine); at
+# max_hamming=8 (w=7..8) buckets hold ~n/256 docs and candidate generation
+# goes quadratic at corpus scale. Radii above this cap need a different
+# scheme (sorted/rotated-table neighbor scan), not wider pigeonhole chunks.
+MAX_SIMHASH_HAMMING = 4
+
+
+def simhash_chunk_keys(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(_id, _sh, chunk) blocking keys: the 64-bit signature split into
+    max_hamming+1 positional chunks (see MAX_SIMHASH_HAMMING for the
+    candidate-volume bound). Exposed so tests can account candidate volume
+    as sum over chunk buckets of C(size, 2)."""
     c = max_hamming + 1
-    if c > 64:
-        raise ValueError("max_hamming must be < 64 for a 64-bit simhash")
     widths = [64 // c + (1 if i < 64 % c else 0) for i in range(c)]
     offsets = [sum(widths[:i]) for i in range(c)]
     chunk_cols = []
@@ -136,7 +146,24 @@ def simhash_candidates(sig: DataFrame, max_hamming: int) -> DataFrame:
         if widths[i] < 64:
             bits = bits.bitwiseAND(F.lit((1 << widths[i]) - 1))
         chunk_cols.append(F.concat_ws(":", F.lit(str(i)), bits))
-    keys = sig.select("_id", "_sh", F.explode(F.array(*chunk_cols)).alias("chunk"))
+    return sig.select("_id", "_sh", F.explode(F.array(*chunk_cols)).alias("chunk"))
+
+
+def simhash_candidates(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_l, id_r, hamming) pairs within max_hamming, from a (_id, _sh)
+    signature table. Chunk count = max_hamming + 1 so the pigeonhole recall
+    guarantee covers exactly the requested distance; max_hamming is capped
+    at MAX_SIMHASH_HAMMING because narrower chunks make candidate volume
+    quadratic (bound in the module comment above)."""
+    if not 0 <= max_hamming <= MAX_SIMHASH_HAMMING:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range [0, {MAX_SIMHASH_HAMMING}]: "
+            f"chunks of width 64/(max_hamming+1) < "
+            f"{64 // (MAX_SIMHASH_HAMMING + 1)} bits make candidate generation "
+            "quadratic at corpus scale (expected volume ~ chunks*n^2/2^width); "
+            "use a rotated-table neighbor scan for larger radii"
+        )
+    keys = simhash_chunk_keys(sig, max_hamming)
     l = keys.select("chunk", F.col("_id").alias("id_l"), F.col("_sh").alias("sh_l"))
     r = keys.select("chunk", F.col("_id").alias("id_r"), F.col("_sh").alias("sh_r"))
     return (

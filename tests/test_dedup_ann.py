@@ -43,7 +43,7 @@ def test_simhash_identical_and_near(spark):
 def test_simhash_candidates_full_recall_at_requested_distance(spark):
     """Pigeonhole guarantee: with chunks = max_hamming + 1, EVERY pair within
     the requested Hamming distance is found (round-1 bug: 4 fixed chunks only
-    guaranteed distance <= 3 while the query asked for 8)."""
+    guaranteed distance <= 3 while the query asked for more)."""
     rng = np.random.default_rng(7)
 
     def signed64(v: int) -> int:
@@ -61,17 +61,65 @@ def test_simhash_candidates_full_recall_at_requested_distance(spark):
         base_id = nid
         rows.append((nid, base))
         nid += 1
-        rows.append((nid, signed64(flip_bits(base, b % 9))))  # distance 0..8
+        rows.append((nid, signed64(flip_bits(base, b % 5))))  # distance 0..4
         expected.add((base_id, nid))
         nid += 1
-        # a partner beyond the threshold (distance 12) must NOT be reported
-        rows.append((nid, signed64(flip_bits(base, 12))))
+        # a partner beyond the threshold (distance 10) must NOT be reported
+        rows.append((nid, signed64(flip_bits(base, 10))))
         beyond.add((base_id, nid))
         nid += 1
     sig = spark.createDataFrame(rows, "_id long, _sh long")
-    got = {(r["id_l"], r["id_r"]) for r in DD.simhash_candidates(sig, 8).collect()}
+    got = {(r["id_l"], r["id_r"]) for r in DD.simhash_candidates(sig, 4).collect()}
     assert expected <= got, f"missed planted pairs: {sorted(expected - got)[:5]}"
     assert not (beyond & got)
+
+
+def test_simhash_max_hamming_capped():
+    """Radii past MAX_SIMHASH_HAMMING mean 7-8 bit chunk keys whose buckets
+    go quadratic at corpus scale — the operator must refuse, not degrade."""
+    import pytest
+
+    with pytest.raises(ValueError, match="quadratic"):
+        DD.simhash_candidates(None, max_hamming=8)
+    with pytest.raises(ValueError):
+        DD.simhash_candidates(None, max_hamming=-1)
+
+
+def test_simhash_candidate_volume_bounded_under_skew(spark):
+    """Scale contract: candidate volume == sum over chunk buckets of C(sz,2),
+    driven by the planted hot bucket, NOT by n^2. 1000 near-uniform random
+    signatures + 60 docs sharing one chunk value stay ~5 orders below C(n,2)."""
+    rng = np.random.default_rng(11)
+
+    def signed64(v: int) -> int:
+        return v - 2**64 if v >= 2**63 else v
+
+    n, hot = 1000, 60
+    rows = [
+        (i, signed64(int(rng.integers(0, 2**64, dtype=np.uint64)))) for i in range(n)
+    ]
+    # plant skew: `hot` docs agree on chunk position 0 (low 13 bits for
+    # max_hamming=4) but are random elsewhere — a hot shingle/boilerplate
+    # bucket, the classic web-corpus skew shape
+    for i in range(hot):
+        v = rows[i][1]
+        rows[i] = (i, signed64(((v >> 13) << 13) | 0x1ABC))
+    sig = spark.createDataFrame(rows, "_id long, _sh long")
+
+    keys = DD.simhash_chunk_keys(sig, 4)
+    from pyspark.sql import functions as F
+
+    bucket_pairs = (
+        keys.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("cand"))
+        .first()["cand"]
+    )
+    # hot bucket contributes C(60,2)=1770; random collisions in 12-13 bit
+    # buckets add ~5 * C(1000,2)/2^12 ~ 600. Assert the volume is bucket-
+    # structured (< 4000), i.e. ~125x below the all-pairs C(1000,2)=499500.
+    assert bucket_pairs >= hot * (hot - 1) / 2
+    assert bucket_pairs < 4000, bucket_pairs
 
 
 def test_embedding_near_dups_recall_vs_bruteforce(spark):

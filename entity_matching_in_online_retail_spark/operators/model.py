@@ -20,7 +20,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.ml.classification import GBTClassifier, LogisticRegression
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
 from pyspark.ml.feature import VectorAssembler
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,10 +55,16 @@ class TreeMatcher:
     ("split", feature_index, threshold, left, right) — JSON-serializable like
     LinearMatcher. score_expr folds the whole ensemble into nested
     when/otherwise literals: scoring stays whole-stage-codegen'd JVM
-    arithmetic with zero Python, exactly like the linear fold."""
+    arithmetic with zero Python, exactly like the linear fold.
+
+    kind="gbt": leaf values are regression margins, P(1) = sigmoid(2*sum(w*t)).
+    kind="rf":  leaf values are per-tree class-1 probabilities (normalized
+    impurity counts), P(1) = mean over trees — Spark's own RF predictRaw
+    (unweighted per-tree vote) reproduced exactly."""
 
     feature_cols: tuple[str, ...]
     trees: tuple  # ((weight, node), ...)
+    kind: str = "gbt"
 
     def _node_expr(self, node) -> Column:
         if node[0] == "leaf":
@@ -69,6 +79,8 @@ class TreeMatcher:
         raw = F.lit(0.0)
         for w, node in self.trees:
             raw = raw + float(w) * self._node_expr(node)
+        if self.kind == "rf":
+            return raw / float(len(self.trees))
         # Spark GBT logistic loss: margin = 2 * F(x); P(1) = sigmoid(margin)
         return 1.0 / (1.0 + F.exp(-2.0 * raw))
 
@@ -117,6 +129,55 @@ def train_tree_matcher(
         for w, t in zip(m.treeWeights, m.trees)
     )
     return TreeMatcher(feature_cols=tuple(feature_cols), trees=trees)
+
+
+def _extract_tree_prob(jnode):
+    """Like _extract_tree but leaves carry the class-1 probability
+    (normalized impurity counts) — what Spark's RF predictRaw votes with."""
+    if jnode.getClass().getSimpleName().endswith("InternalNode"):
+        split = jnode.split()
+        return (
+            "split",
+            int(split.featureIndex()),
+            float(split.threshold()),
+            _extract_tree_prob(jnode.leftChild()),
+            _extract_tree_prob(jnode.rightChild()),
+        )
+    stats = list(jnode.impurityStats().stats())
+    total = float(sum(stats))
+    return ("leaf", float(stats[1]) / total if total > 0 else 0.0)
+
+
+def train_rf_matcher(
+    features: DataFrame,
+    feature_cols: tuple[str, ...],
+    label_col: str = "label",
+    n_trees: int = 20,
+    max_depth: int = 5,
+    seed: int = 42,
+) -> TreeMatcher:
+    """M1-alt: fit a RandomForestClassifier (distributed), fold to plan
+    literals. P(1) = mean over trees of the leaf class-1 probability —
+    exactly RandomForestClassificationModel.predictRaw normalized."""
+    assembled = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="_fv", handleInvalid="keep"
+    ).transform(
+        features.select(
+            *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in feature_cols],
+            F.col(label_col).cast("double").alias(label_col),
+        )
+    )
+    m = RandomForestClassifier(
+        featuresCol="_fv",
+        labelCol=label_col,
+        numTrees=n_trees,
+        maxDepth=max_depth,
+        seed=seed,
+    ).fit(assembled)
+    trees = tuple(
+        (1.0, _extract_tree_prob(t._call_java("rootNode"))) for t in m.trees
+    )
+    return TreeMatcher(feature_cols=tuple(feature_cols), trees=trees, kind="rf")
 
 
 def split_train_val(labeled: DataFrame, train_pct: int = 80) -> tuple[DataFrame, DataFrame]:

@@ -32,8 +32,8 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-STAGES = ["block", "score", "cc"]
-LEVELS = [2, 8, 32]
+DEFAULT_STAGES = ["block", "score", "cc"]
+DEFAULT_LEVELS = [2, 8, 32]
 
 
 def prepare_inputs(entities: int, workdir: str) -> dict:
@@ -84,7 +84,22 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, default=50000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--levels", default=None, help="comma-separated core counts, e.g. 2,8,32"
+    )
+    ap.add_argument(
+        "--stages", default=None, help="comma-separated subset of block,score,cc"
+    )
+    ap.add_argument(
+        "--out",
+        default=os.path.join("BENCH", "BASELINE.md"),
+        help="markdown report path (use a scratch path to avoid clobbering "
+        "the curated BENCH/BASELINE.md)",
+    )
     args = ap.parse_args()
+    global STAGES, LEVELS
+    STAGES = args.stages.split(",") if args.stages else DEFAULT_STAGES
+    LEVELS = [int(x) for x in args.levels.split(",")] if args.levels else DEFAULT_LEVELS
 
     workdir = os.path.join(REPO, ".bench_cache", f"scaling_wd_e{args.entities}")
     os.makedirs(workdir, exist_ok=True)
@@ -107,68 +122,59 @@ def main() -> int:
             (times[stage][lo]["best"] / times[stage][hi]["best"]) / (hi / lo), 3
         )
 
-    pps = {c: round(n_pairs / times["score"][c]["best"], 1) for c in LEVELS}
+    cells = [
+        (lo, hi) for lo, hi in zip(LEVELS, LEVELS[1:])
+    ]
+    pps = (
+        {c: round(n_pairs / times["score"][c]["best"], 1) for c in LEVELS}
+        if "score" in STAGES and n_pairs
+        else {}
+    )
     report = {
         "metric": "scaling_efficiency",
-        "protocol": "fresh JVM per measurement, min of reps, local[2/8/32]",
+        "protocol": f"fresh JVM per measurement, min of reps, local{LEVELS}",
         "corpus": {"entities": args.entities, **info, "n_pairs": n_pairs},
         "stage_times": times,
         "pairs_per_sec": pps,
-        "efficiency_2_to_8": {s: eff(s, 2, 8) for s in STAGES},
-        "efficiency_8_to_32": {s: eff(s, 8, 32) for s in STAGES},
+        "efficiency": {
+            f"{lo}_to_{hi}": {s: eff(s, lo, hi) for s in STAGES} for lo, hi in cells
+        },
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    level_hdr = " | ".join(f"local[{c}] (s)" for c in LEVELS)
+    cell_hdr = " | ".join(f"eff {lo}→{hi}" for lo, hi in cells)
     md = [
-        "# BENCH/BASELINE — measured scaling evidence",
+        "# Measured scaling evidence (raw run report)",
         "",
         "North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.",
+        "Protocol: same stage dataflows, same pre-built inputs, every measurement",
+        f"in a fresh JVM (subprocess per stage x level x rep), min of {args.reps}",
+        "reps, one untimed warmup pass per JVM, shuffle partitions = 2x cores.",
+        f"Corpus: {args.entities} entities, {info['n_records']} records"
+        + (
+            f", {n_pairs:,} candidate pairs; end-to-end pairwise F1 = {info['f1']}."
+            if n_pairs
+            else "."
+        ),
         "",
-        "## Protocol (no real cluster in this sandbox — see BASELINE.md)",
-        "",
-        "Same stage dataflows, same pre-built inputs, at local[2] / local[8] /",
-        "local[32]; every measurement in a fresh JVM (subprocess per stage x level",
-        f"x rep), min of {args.reps} reps, shuffle partitions = 2x cores.",
-        f"Corpus: {args.entities} entities, {info['n_records']} records,",
-        f"{n_pairs:,} candidate pairs; end-to-end pairwise F1 = {info['f1']}.",
-        "",
-        "## Results",
-        "",
-        "| stage | local[2] (s) | local[8] (s) | local[32] (s) | eff 2→8 (N→4N) | eff 8→32 |",
-        "| --- | --- | --- | --- | --- | --- |",
+        f"| stage | {level_hdr} | {cell_hdr} |",
+        "| --- |" + " --- |" * (len(LEVELS) + len(cells)),
     ]
     for s in STAGES:
-        md.append(
-            "| {} | {:.1f} | {:.1f} | {:.1f} | **{:.3f}** | {:.3f} |".format(
-                s,
-                times[s][2]["best"], times[s][8]["best"], times[s][32]["best"],
-                report["efficiency_2_to_8"][s], report["efficiency_8_to_32"][s],
-            )
+        t = " | ".join(f"{times[s][c]['best']:.1f}" for c in LEVELS)
+        e = " | ".join(
+            f"{report['efficiency'][f'{lo}_to_{hi}'][s]:.3f}" for lo, hi in cells
         )
+        md.append(f"| {s} | {t} | {e} |")
+    if pps:
+        md += [
+            "",
+            "Candidate pairs scored/sec: "
+            + " → ".join(f"{pps[c]:,.0f} at local[{c}]" for c in LEVELS)
+            + ".",
+        ]
     md += [
-        "",
-        "Candidate pairs scored/sec (north-rule throughput metric): "
-        "{:,.0f} at local[2] → {:,.0f} at local[8] → {:,.0f} at local[32].".format(
-            pps[2], pps[8], pps[32]
-        ),
-        "",
-        "## Reading",
-        "",
-        "- **N→4N headline (2→8 cores): scoring efficiency {:.2f}** — meets the".format(
-            report["efficiency_2_to_8"]["score"]
-        ),
-        "  >= 0.8 rule. Blocking {:.2f} (shuffle/write bound), CC is seconds of".format(
-            report["efficiency_2_to_8"]["block"]
-        ),
-        "  driver-coordinated iterations (size-independent overhead dominates).",
-        "- 8→32 on one box saturates the single socket's memory bus: the scoring",
-        "  kernel runs 97-98% CPU-busy at 32 threads (measured via /proc/stat) but",
-        "  allocation-heavy columnar work is bandwidth-bound well below 4x. Real",
-        "  clusters add a memory bus with every executor — the dimension this",
-        "  sandbox cannot emulate. Throughput still rises monotonically.",
-        "- Multi-executor-JVM emulation (local-cluster[4,8]) was tried and",
-        "  rejected: 4 JVMs x GC/netty thread pools oversubscribe one box and",
-        "  measure scheduler thrash, not dataflow scaling.",
         "",
         "Raw JSON:",
         "```json",
@@ -176,7 +182,8 @@ def main() -> int:
         "```",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out = args.out if os.path.isabs(args.out) else os.path.join(REPO, args.out)
+    with open(out, "w") as f:
         f.write("\n".join(md))
     print(json.dumps(report))
     return 0

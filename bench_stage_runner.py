@@ -33,6 +33,20 @@ def main() -> int:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--stage", choices=["block", "score", "cc"], required=True)
     ap.add_argument(
+        "--cosine-impl",
+        choices=["python", "jvm"],
+        default="python",
+        help="score stage only: tf-idf cosine in the fused Arrow UDF vs as a "
+        "pure Catalyst expression (vectors never cross into Python)",
+    )
+    ap.add_argument(
+        "--vector-fetch",
+        choices=["twin", "unpivot"],
+        default="twin",
+        help="score stage only: twin l/r broadcast fetches vs single-exchange "
+        "unpivot fetch + pair-key regroup",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run the stage once untimed first: Catalyst planning + codegen "
@@ -78,6 +92,8 @@ def main() -> int:
                 pairs.repartition(2 * args.total_cores),
                 attrs,
                 gate_jaccard=cfg.scoring.gate_jaccard,
+                cosine_impl=args.cosine_impl,
+                vector_fetch=args.vector_fetch,
             )
             _noop(M.score_pairs(feats, matcher))
 

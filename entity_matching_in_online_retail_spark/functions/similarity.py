@@ -348,6 +348,12 @@ def pair_scores_udf(
         valid = code >= 0
         jw[valid] = uj[code[valid]]
 
+    # Per-row searchsorted loop, KEPT ON MEASUREMENT over a whole-batch
+    # rank-compacted kernel (unique -> (row, rank) int64 keys -> one global
+    # searchsorted + bincount): the batch kernel measured 3.1x SLOWER at the
+    # real 10k-row Arrow batch shape (0.230s vs 0.074s; 4.6x slower at 100k)
+    # because np.unique + rank lookups cost ~23us/row against ~7us/row of
+    # numpy dispatch here — the per-row arrays (10-60 elems) are cache-hot.
     cos = np.zeros(n)
     il, vl = idx_l.to_numpy(dtype=object), val_l.to_numpy(dtype=object)
     ir, vr = idx_r.to_numpy(dtype=object), val_r.to_numpy(dtype=object)
@@ -372,6 +378,64 @@ def pair_scores_udf(
         if hit.any():
             cos[i] = float(np.dot(wa_all[hit], wb_all[pos[hit]]))
     return pd.DataFrame({"jw_sim": jw, "tfidf_cos": cos})
+
+
+@F.pandas_udf(T.DoubleType())
+def jw_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Factorized batch Jaro-Winkler (same dedupe trick as pair_scores_udf)
+    for plans that compute the cosine JVM-side and only need JW from Python."""
+    n = len(a)
+    jw = np.zeros(n)
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    pair_code: dict[tuple, int] = {}
+    code = np.full(n, -1, dtype=np.int64)
+    ua: list[str] = []
+    ub: list[str] = []
+    for i in range(n):
+        x, y = av[i], bv[i]
+        if x is None or y is None:
+            continue
+        k = (x, y)
+        c = pair_code.get(k)
+        if c is None:
+            c = len(ua)
+            pair_code[k] = c
+            ua.append(x)
+            ub.append(y)
+        code[i] = c
+    if ua:
+        uj = jaro_winkler_batch(ua, ub)
+        valid = code >= 0
+        jw[valid] = uj[code[valid]]
+    return pd.Series(jw)
+
+
+def sparse_cosine_expr(
+    idx_l: Column, val_l: Column, idx_r: Column, val_r: Column
+) -> Column:
+    """Sparse dot product of two sorted (idx, val) vectors as a pure JVM
+    expression: array_intersect for the shared indices, then an aggregate
+    over the intersection with map lookups for the weights. O(|inter| * n)
+    comparisons per pair — but entirely JVM-side, so the KB-wide vectors
+    never ride the Arrow transfer into the Python workers. Null/empty
+    vectors score 0.0 (same contract as the pandas kernel)."""
+    inter = F.array_intersect(idx_l, idx_r)
+    # Weight lookup via array_position (linear scan over attribute
+    # references): zero per-element allocation. A map_from_arrays lookup
+    # table would be O(1) per probe but projection collapse inlines the map
+    # construction into the lambda body — rebuilding the map per element.
+    # k comes from the intersection so array_position is always >= 1
+    # (element_at is 1-based; 0 would throw under ANSI).
+    dot = F.aggregate(
+        inter,
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at(val_l, F.array_position(idx_l, k).cast("int"))
+        * F.element_at(val_r, F.array_position(idx_r, k).cast("int")),
+    )
+    return F.when(
+        idx_l.isNotNull() & idx_r.isNotNull(), dot
+    ).otherwise(F.lit(0.0))
 
 
 # --------------------------------------------------------------------------

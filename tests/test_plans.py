@@ -76,6 +76,60 @@ def test_scoring_plan_shape(spark, tiny_spark, tmp_path_factory):
     assert str(DEFAULT_MATCHER.coefficients[0]) in plan_of(scored, "extended")
 
 
+def test_pair_features_variants_equivalent(spark, tiny_spark):
+    """cosine_impl jvm/python and vector_fetch twin/unpivot must produce
+    identical feature rows (cosine differs only by float summation order);
+    the jvm plan computes the cosine via array_intersect with NO second
+    Python node, and the unpivot plan carries ONE vector broadcast join."""
+    from entity_matching_in_online_retail_spark.operators.normalize import (
+        normalize_web_pages,
+    )
+
+    pages, _, _ = tiny_spark
+    offers = normalize_web_pages(pages, lang="en", use_html=True)
+    idf = S.fit_idf(offers)
+    attrs = FE.offers_with_vectors(offers, idf).localCheckpoint(eager=True)
+    ids = [r["record_id"] for r in attrs.select("record_id").limit(40).collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_l long, id_r long"
+    )
+    cols = ["id_l", "id_r", "jaccard", "lev_sim", "jw_sim", "tfidf_cos",
+            "price_sim", "brand_eq"]
+
+    def rows(**kw):
+        df = FE.pair_features(pairs, attrs, gate_jaccard=0.15, **kw).select(cols)
+        return {
+            (r["id_l"], r["id_r"]): [round(float(r[c]), 9) for c in cols[2:]]
+            for r in df.collect()
+        }
+
+    base = rows()
+    assert base  # the gate must leave something to compare
+    for kw in ({"cosine_impl": "jvm"}, {"vector_fetch": "unpivot"},
+               {"cosine_impl": "jvm", "vector_fetch": "unpivot"}):
+        got = rows(**kw)
+        assert got == base, kw
+
+    import re
+
+    jvm_plan = plan_of(
+        FE.pair_features(pairs, attrs, gate_jaccard=0.15, cosine_impl="jvm")
+    )
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", jvm_plan)) == 1
+    assert "array_intersect" in jvm_plan
+    # twin: 2 light + 2 vector joins = 4; unpivot: 2 light + 1 vector = 3
+    # (counted strategy-agnostically: AQE may print SMJ before runtime
+    # broadcast conversion depending on when stats materialize)
+    join_re = r"\(\d+\) (?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"
+    twin_plan = plan_of(FE.pair_features(pairs, attrs, gate_jaccard=0.15))
+    unp_plan = plan_of(
+        FE.pair_features(pairs, attrs, gate_jaccard=0.15, vector_fetch="unpivot")
+    )
+    assert len(re.findall(join_re, twin_plan)) == 4
+    assert len(re.findall(join_re, unp_plan)) == 3
+    assert "Generate" in unp_plan  # the posexplode unpivot
+
+
 def test_candidate_pairs_broadcasts_hot_keys(spark):
     """The small/hot split must broadcast the hot-key set (semi/anti), never
     shuffle the full block table against stats."""

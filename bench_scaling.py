@@ -60,20 +60,23 @@ def prepare_inputs(entities: int, workdir: str) -> dict:
     return info
 
 
-def run_once(cores: int, workdir: str, stage: str) -> dict:
+def run_once(cores: int, workdir: str, stage: str, warmup: bool = True) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "bench_stage_runner.py"),
         "--master", f"local[{cores}]", "--total-cores", str(cores),
         "--workdir", workdir, "--stage", stage,
     ]
-    # Every stage gets one untimed warmup pass per JVM: Catalyst planning +
+    # One untimed warmup pass per JVM by default: Catalyst planning +
     # codegen compile + JIT are a ~6s fixed driver cost identical at every
     # parallelism level. Cold, that cost is 12% of the local[8] scoring wall
     # but 4% of local[2]'s — it distorts the ratio in a way that amortizes
     # to nothing at production scale (measured: cold score eff 0.80 vs warm
-    # 0.85, with the warm series far tighter across reps).
-    cmd.append("--warmup")
-    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # 0.85, with the warm series far tighter across reps). At sf1-class
+    # corpora stage walls are minutes, the fixed cost is <2%, and the
+    # warmup pass doubles an already-long matrix — skip with --no-warmup.
+    if warmup:
+        cmd.append("--warmup")
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"runner failed (local[{cores}], {stage}):\n{p.stderr[-3000:]}")
@@ -96,6 +99,7 @@ def main() -> int:
         help="markdown report path (use a scratch path to avoid clobbering "
         "the curated BENCH/BASELINE.md)",
     )
+    ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
     global STAGES, LEVELS
     STAGES = args.stages.split(",") if args.stages else DEFAULT_STAGES
@@ -111,7 +115,7 @@ def main() -> int:
         for cores in LEVELS:
             reps = []
             for _ in range(args.reps):
-                r = run_once(cores, workdir, stage)
+                r = run_once(cores, workdir, stage, warmup=not args.no_warmup)
                 reps.append(r["sec"])
                 if r.get("n_pairs"):
                     n_pairs = r["n_pairs"]

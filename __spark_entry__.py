@@ -451,6 +451,34 @@ def q_lang_id(spark, d):
     return docs.select("doc_id", TS.lang_id(toks).alias("lang_guess"))
 
 
+def q_lang_id_iter(spark, d):
+    """SURVEY §2 X2: SCALAR_ITER pandas UDF (per-task amortized prologue);
+    same semantics — and same DuckDB oracle — as the JVM `lang_id`."""
+    from entity_matching_in_online_retail_spark.functions import pandas_udfs as PU
+
+    docs = _t(spark, d, "documents")
+    return docs.select(
+        "doc_id", PU.iter_lang_id_udf()(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_gini_by_lang(spark, d):
+    """SURVEY §2 X5: GROUPED_AGG pandas UDAF — per-language Gini coefficient
+    of whitespace token counts (corpus-skew diagnostic; no Catalyst
+    built-in computes Gini)."""
+    from entity_matching_in_online_retail_spark.functions import pandas_udfs as PU
+
+    docs = _t(spark, d, "documents")
+    gini = PU.gini_udaf()
+    return (
+        docs.select(
+            "lang", TS.token_count_ws(F.col("text")).cast("double").alias("n_tokens")
+        )
+        .groupBy("lang")
+        .agg(F.round(gini(F.col("n_tokens")), 6).alias("gini_tokens"))
+    )
+
+
 def q_exact_dedup(spark, d):
     docs = _t(spark, d, "documents")
     deduped = DD.exact_dedup(docs)
@@ -974,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_json": q_from_json,
         "token_count_bpe": q_token_count_bpe,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "lang_id_iter": q_lang_id_iter,
+        "gini_by_lang": q_gini_by_lang,
         # rows-only (no oracle entry): hash-based / iterative operators
         "approx_count_distinct": q_approx_count_distinct,
         "soundex": q_soundex,
@@ -1300,5 +1330,34 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
             "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
             "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3"
+        ),
+        # X2 SCALAR_ITER UDF: same semantics as the JVM lang_id, same oracle.
+        "lang_id_iter": (
+            "WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','was'])) AS s_en, "
+            "len(list_intersect(toks, ['der','die','das','und','ist','nicht','von','mit','ein','zu'])) AS s_de, "
+            "len(list_intersect(toks, ['le','la','les','et','est','des','une','dans','que','pour'])) AS s_fr, "
+            "len(list_intersect(toks, ['el','la','los','de','que','y','en','un','por','con'])) AS s_es "
+            "FROM t) "
+            "SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+            "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' "
+            "WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de' "
+            "WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr' "
+            "ELSE 'es' END AS lang_guess FROM s"
+        ),
+        # X5 GROUPED_AGG UDAF: Gini via the sorted-rank identity — every
+        # intermediate is an exact integer-valued double below 2^53, so the
+        # window-function oracle matches the numpy kernel bit-for-bit.
+        "gini_by_lang": (
+            "WITH c AS (SELECT lang, CAST(CASE WHEN length(trim(text)) > 0 "
+            "THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS DOUBLE) AS n "
+            "FROM documents), "
+            "r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS cnt, "
+            "sum(n) OVER (PARTITION BY lang) AS tot FROM c) "
+            "SELECT lang, round(CASE WHEN tot = 0 THEN 0.0 "
+            "ELSE 2.0 * sum(rn * n) / (cnt * tot) - (cnt + 1.0) / cnt END, 6) AS gini_tokens "
+            "FROM r GROUP BY lang, cnt, tot"
         ),
     }

@@ -53,22 +53,26 @@ def _export_dir(sf_dir: str, name: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def mini_er(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
-    from entity_matching_in_online_retail_spark.plans.pipeline import DEFAULT_MATCHER
-
+def _docs_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> offers-schema frame (shared by mini_er / incremental_er)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
     offers = docs.select(
         F.col("doc_id").alias("record_id"),
         F.col("text"),
         TX.normalize_text(F.col("text"), with_nfkc=False).alias("norm_text"),
     ).withColumn("tokens", TX.tokens(F.col("norm_text")))
-    offers = offers.withColumn(
+    return offers.withColumn(
         "title_norm", F.concat_ws(" ", F.slice(F.split("norm_text", " "), 1, 6))
     ).withColumn("domain", F.lit(None).cast("string")) \
      .withColumn("brand", TX.parse_brand(F.col("norm_text"))) \
      .withColumn("price", F.lit(None).cast("double"))
-    offers = offers.cache()
+
+
+def mini_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
+    from entity_matching_in_online_retail_spark.plans.pipeline import DEFAULT_MATCHER
+
+    offers = _docs_offers(spark, sf_dir).cache()
 
     cfg = DEFAULT_CONFIG.blocking
     keys = B.prefix_block_keys(offers, cfg).unionByName(
@@ -935,6 +939,49 @@ def q_mini_er(spark, d):
     return mini_er(spark, d)
 
 
+def q_incremental_er(spark, d):
+    """Incremental ER (operators/incremental.py): resolve the ~20% of en
+    documents with record_id % 5 == 0 against a clustering of the other 80%
+    — work proportional to the increment, existing clusters contracted to
+    single nodes. Rows-only (iterative CC composition has no single-SQL
+    oracle); exact label-equality with a full batch re-run is pytest-proved
+    in tests/test_incremental.py."""
+    from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
+    from entity_matching_in_online_retail_spark.operators import features as FE
+    from entity_matching_in_online_retail_spark.operators import incremental as INC
+    from entity_matching_in_online_retail_spark.plans.pipeline import DEFAULT_MATCHER
+
+    cfg = DEFAULT_CONFIG
+    tau = 0.99  # same rationale as mini_er: ~30-word vocab → top-percentile tau
+    offers = _docs_offers(spark, d).cache()
+    new_flag = F.pmod(F.col("record_id"), F.lit(5)) == 0
+    offers_new = offers.where(new_flag)
+    offers_old = offers.where(~new_flag)
+
+    idf = S.fit_idf(offers_old)
+    attrs_old = FE.offers_with_vectors(offers_old, idf)
+    keys = B.prefix_block_keys(offers_old, cfg.blocking).unionByName(
+        B.minhash_block_keys(offers_old, cfg.blocking)
+    )
+    pairs = B.candidate_pairs(B.cap_blocks(keys, cfg.blocking), cfg.blocking)
+    feats = FE.pair_features(
+        pairs.select("id_l", "id_r"), attrs_old, gate_jaccard=cfg.scoring.gate_jaccard
+    )
+    edges = M.match_edges(M.score_pairs(feats, DEFAULT_MATCHER), tau)
+    old_clusters = C.assign_clusters(
+        offers_old.select("record_id"), C.connected_components(edges)
+    )
+
+    inc = INC.incremental_assign(
+        offers_old, attrs_old, old_clusters, offers_new,
+        idf, DEFAULT_MATCHER, tau, cfg,
+    )
+    return inc.assignments.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).crossJoin(inc.merges.agg(F.count(F.lit(1)).alias("n_merges")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness-checks the FIRST 50 entries
     # (observed cap in CORRECTNESS_r01/r02), so the 50 highest-value
@@ -1021,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "near_dup_groups": q_near_dup_groups,
         "mini_er": q_mini_er,
+        "incremental_er": q_incremental_er,
     }
 
 

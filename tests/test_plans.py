@@ -203,3 +203,25 @@ def test_tfidf_scan_pruned_in_cheap_phase(spark, tiny_spark, tmp_path_factory):
     for seg in light_scans:
         head = seg.split("Location")[0]
         assert "tfidf_idx" not in head
+
+
+def test_incremental_pairs_plan_shape(spark, tiny_spark):
+    """Incremental pair generation must broadcast the increment-sized sides
+    (new ids, touched block keys) and contain no cartesian product — the
+    full block table is never re-shuffled into pairs for an append."""
+    from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
+    from entity_matching_in_online_retail_spark.operators import incremental as INC
+    from entity_matching_in_online_retail_spark.operators.normalize import (
+        normalize_web_pages,
+    )
+
+    pages, _, _ = tiny_spark
+    offers = normalize_web_pages(pages, lang="en", use_html=True)
+    flag = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+    pairs = INC.incremental_pairs(
+        offers.where(~flag), offers.where(flag), DEFAULT_CONFIG
+    )
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # semi joins on increment-sized sides
+    assert plan.count("LeftSemi") >= 3  # touched-keys + the two new-id sides

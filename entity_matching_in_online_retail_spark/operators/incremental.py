@@ -71,7 +71,10 @@ def incremental_pairs(
     re-shuffled into pairs.
     """
     new_ids = new_offers.select(id_col)
-    union = old_offers.unionByName(new_offers.select(*old_offers.columns))
+    # Checkpointed offers carry bookkeeping columns (part_id) the fresh
+    # increment lacks — block over the shared offer schema.
+    cols = [c for c in new_offers.columns if c in set(old_offers.columns)]
+    union = old_offers.select(*cols).unionByName(new_offers.select(*cols))
     keys = B.all_block_keys(union, cfg.blocking, id_col)
     capped = B.cap_blocks(keys, cfg.blocking, id_col)
     touched = (

@@ -7,17 +7,27 @@
 Resolves a new batch of web pages against the clustering an earlier
 `run_pipeline.py` run left in `--workdir` (offers/attrs/clusters stage
 checkpoints + model.json), touching only work proportional to the increment
-(see operators/incremental.py). Writes the updated assignment to
-`<workdir>/clusters` and the merge audit to `<workdir>/merges`, and prints
-one JSON line. The increment's offers/attrs are NOT folded into the base
-stage checkpoints — per the incremental contract, appends are merge-only
-between full rebuilds, and the next config/lineage change triggers the full
-rebuild that re-bases everything.
+(see operators/incremental.py). Appends CHAIN: each batch's offers are
+persisted under `<workdir>/increments/offers/batch-NNNN/`, so a later batch
+blocks and matches against every earlier batch, not just the base run.
+Increment attribute vectors are recomputed at load from the frozen base IDF
+(deterministic, one artifact per batch = one crash window).
+
+Crash safety without new manifest machinery: the increment parquet is
+written BEFORE the updated `clusters/`. A crash between the two leaves
+records that exist in increments but not in clusters; the next append (or a
+re-run with an empty batch) treats exactly those records as part of the new
+batch — their ids pass through cluster contraction unchanged (left-join
+coalesce), their candidate pairs are regenerated, and the clustering
+converges to the same result (tested). Re-running an already-applied batch
+is a no-op: its records anti-join away and no new increment dir is written.
 
 Sandbox demo (no external data): `--demo tiny` generates the fixtures
 corpus, runs the BASE pipeline on the ~80% of records with
 pmod(xxhash64(url), 5) != 0, then appends the remaining ~20% and evaluates
-pairwise F1 of the updated clustering against the full labeled set.
+pairwise F1 of the updated clustering against the full labeled set. Demo
+re-runs wipe `increments/` first (the base pipeline rebuild resets
+`clusters/`, so stale increments would otherwise look crash-orphaned).
 """
 
 from __future__ import annotations
@@ -25,16 +35,19 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entity_matching_in_online_retail_spark import fixtures as fx
-from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
+from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG, PipelineConfig
 from entity_matching_in_online_retail_spark.functions import similarity as S
+from entity_matching_in_online_retail_spark.operators import features as FE
 from entity_matching_in_online_retail_spark.operators import incremental as INC
 from entity_matching_in_online_retail_spark.operators import model as M
 from entity_matching_in_online_retail_spark.operators.normalize import (
@@ -45,6 +58,107 @@ from entity_matching_in_online_retail_spark.plans.pipeline import ERPipeline
 from entity_matching_in_online_retail_spark.session import get_spark
 
 DEMO_SIZES = {"tiny": 50, "small": 2000}
+
+OFFER_COLS = [
+    "record_id", "url", "domain", "warc_ts", "lang", "text",
+    "norm_text", "tokens", "title_norm", "brand", "price",
+]
+
+
+def _inc_dir(workdir: str) -> str:
+    return os.path.join(workdir, "increments", "offers")
+
+
+def _load_known_offers(spark: SparkSession, workdir: str) -> tuple[DataFrame, DataFrame]:
+    """(base offers, base ∪ increment offers) on the shared offer schema."""
+    base = spark.read.parquet(os.path.join(workdir, "offers")).select(*OFFER_COLS)
+    inc_root = _inc_dir(workdir)
+    batches = sorted(os.listdir(inc_root)) if os.path.isdir(inc_root) else []
+    all_offers = base
+    for b in batches:
+        all_offers = all_offers.unionByName(
+            spark.read.parquet(os.path.join(inc_root, b)).select(*OFFER_COLS)
+        )
+    return base, all_offers
+
+
+def append_batch(
+    spark: SparkSession,
+    workdir: str,
+    new_pages: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    use_html: bool = True,
+) -> dict:
+    """Resolve one batch against the workdir's clustering; persist the
+    increment + updated clusters/merges; return summary counts."""
+    base_offers, known_offers = _load_known_offers(spark, workdir)
+    old_clusters = spark.read.parquet(os.path.join(workdir, "clusters"))
+    with open(os.path.join(workdir, "model.json")) as f:
+        saved = json.load(f)
+    matcher = M.LinearMatcher(
+        tuple(saved["feature_cols"]), tuple(saved["coefficients"]),
+        float(saved["intercept"]),
+    )
+    tau = float(saved["threshold"])
+
+    # Frozen vocabulary: the IDF of the base full run, refit
+    # deterministically (same input → identical table, no persisted state).
+    idf = S.fit_idf(base_offers)
+
+    incoming = (
+        normalize_web_pages(new_pages, lang=cfg.lang_filter, use_html=use_html)
+        .select(*OFFER_COLS)
+        .join(known_offers.select("record_id"), "record_id", "left_anti")
+    )
+    # Crash recovery: increment records that never made it into clusters/
+    # re-enter as part of this batch (their pairs are regenerated; their ids
+    # pass through contraction unchanged).
+    orphans = known_offers.join(
+        old_clusters.select("record_id"), "record_id", "left_anti"
+    )
+    new_offers = incoming.unionByName(orphans).localCheckpoint(eager=True)
+
+    resolved_offers = known_offers.join(
+        old_clusters.select("record_id"), "record_id", "left_semi"
+    )
+    # Base attrs come from the checkpoint; increment attrs are recomputed
+    # from the frozen IDF (deterministic, avoids a second crash artifact).
+    base_attrs = spark.read.parquet(os.path.join(workdir, "attrs"))
+    inc_resolved = resolved_offers.join(
+        base_offers.select("record_id"), "record_id", "left_anti"
+    )
+    inc_vecs = FE.offers_with_vectors(inc_resolved, idf)
+    attrs = base_attrs.select(*inc_vecs.columns).unionByName(inc_vecs)
+    # restrict to resolved records (base attrs may include crash orphans)
+    attrs = attrs.join(old_clusters.select("record_id"), "record_id", "left_semi")
+
+    res = INC.incremental_assign(
+        resolved_offers, attrs, old_clusters, new_offers,
+        idf, matcher, tau, cfg,
+    )
+    assignments = res.assignments.localCheckpoint(eager=True)
+    merges = res.merges.localCheckpoint(eager=True)
+
+    out = {
+        "base_records": resolved_offers.count(),
+        "new_records": incoming.count(),
+        "recovered_records": orphans.count(),
+        "clusters_before": old_clusters.select("cluster_id").distinct().count(),
+        "clusters_after": assignments.select("cluster_id").distinct().count(),
+        "merges": merges.count(),
+    }
+
+    # Write order is the crash contract: increment first, clusters second.
+    if out["new_records"] > 0:
+        inc_root = _inc_dir(workdir)
+        os.makedirs(inc_root, exist_ok=True)
+        batch_name = f"batch-{len(os.listdir(inc_root)):04d}"
+        incoming.write.mode("errorifexists").parquet(
+            os.path.join(inc_root, batch_name)
+        )
+    assignments.write.mode("overwrite").parquet(os.path.join(workdir, "clusters"))
+    merges.write.mode("overwrite").parquet(os.path.join(workdir, "merges"))
+    return out
 
 
 def main() -> int:
@@ -72,6 +186,9 @@ def main() -> int:
         args.labeled = os.path.join(corpus_dir, "labeled_pairs")
         is_new = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
         base_pages, new_pages = pages.where(~is_new), pages.where(is_new)
+        # The base rebuild resets clusters/; drop increments with it so the
+        # demo is a deterministic base-plus-one-batch scenario every run.
+        shutil.rmtree(os.path.join(args.workdir, "increments"), ignore_errors=True)
         print("running base pipeline on the ~80% split ...", flush=True)
         ERPipeline(spark, args.workdir, cfg).run(
             base_pages, labeled_urls=spark.read.parquet(args.labeled)
@@ -81,51 +198,18 @@ def main() -> int:
             ap.error("--new or --demo required")
         new_pages = spark.read.parquet(args.new)
 
-    old_offers = spark.read.parquet(os.path.join(args.workdir, "offers"))
-    old_attrs = spark.read.parquet(os.path.join(args.workdir, "attrs"))
-    old_clusters = spark.read.parquet(os.path.join(args.workdir, "clusters"))
-    with open(os.path.join(args.workdir, "model.json")) as f:
-        saved = json.load(f)
-    matcher = M.LinearMatcher(
-        tuple(saved["feature_cols"]), tuple(saved["coefficients"]),
-        float(saved["intercept"]),
+    out = append_batch(
+        spark, args.workdir, new_pages, cfg, use_html=not args.no_html
     )
-    tau = float(saved["threshold"])
-
-    new_offers = normalize_web_pages(
-        new_pages, lang=cfg.lang_filter, use_html=not args.no_html
-    ).join(old_offers.select("record_id"), "record_id", "left_anti")
-    new_offers = new_offers.localCheckpoint(eager=True)
-
-    # fit_idf is deterministic, so refitting on the base offers reproduces
-    # the original run's IDF exactly — the frozen vocabulary the incremental
-    # contract requires, with no extra persisted state.
-    idf = S.fit_idf(old_offers)
-    res = INC.incremental_assign(
-        old_offers, old_attrs, old_clusters, new_offers,
-        idf, matcher, tau, cfg,
-    )
-    assignments = res.assignments.localCheckpoint(eager=True)
-    merges = res.merges.localCheckpoint(eager=True)
-
-    # Counts against the OLD clusters dir must happen before it is replaced.
-    out = {
-        "base_records": old_offers.count(),
-        "new_records": new_offers.count(),
-        "clusters_before": old_clusters.select("cluster_id").distinct().count(),
-        "clusters_after": assignments.select("cluster_id").distinct().count(),
-        "merges": merges.count(),
-    }
-
-    assignments.write.mode("overwrite").parquet(os.path.join(args.workdir, "clusters"))
-    merges.write.mode("overwrite").parquet(os.path.join(args.workdir, "merges"))
     out["elapsed_sec"] = round(time.time() - t0, 2)
+
     if args.labeled:
-        offers_all = old_offers.select(*new_offers.columns).unionByName(new_offers)
+        _, known = _load_known_offers(spark, args.workdir)
         labeled_ids = EV.labeled_pairs_to_ids(
-            spark.read.parquet(args.labeled), offers_all
+            spark.read.parquet(args.labeled), known
         )
-        m = EV.confusion(EV.cluster_predictions(labeled_ids, assignments))
+        clusters = spark.read.parquet(os.path.join(args.workdir, "clusters"))
+        m = EV.confusion(EV.cluster_predictions(labeled_ids, clusters))
         out.update(
             precision=round(m.precision, 4), recall=round(m.recall, 4),
             f1=round(m.f1, 4),

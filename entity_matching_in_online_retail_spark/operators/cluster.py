@@ -9,8 +9,9 @@ giant (skewed) component never funnels through one reducer chain.
 
 Per-iteration `localCheckpoint()` truncates the lineage, otherwise the plan
 doubles every round. Convergence is detected with a cheap aggregate
-fingerprint (count + xor/sum of pair hashes) — no exceptAll diff, no
-collect of edges.
+fingerprint (count + two independently-seeded hash sums + min/max
+endpoints) — no exceptAll diff, no collect of edges; early-stop requires
+every component to collide simultaneously.
 
 C3 (test oracle): driver-side union-find in plain Python, used only in tests
 as a differential oracle on small graphs.
@@ -58,14 +59,34 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+def _fingerprint(edges: DataFrame) -> tuple[int, int, int, int, int]:
+    """Order-independent edge-set fingerprint, one aggregate pass.
+
+    Early-stop requires FOUR independent components to collide at once:
+    two sums over distinct hash-family members (xxhash64 seeded by a mixed-in
+    literal, different moduli) plus exact min/max endpoints. Each hash
+    collision is ~2^-60 per round; requiring their simultaneous collision
+    (plus matching extrema) makes a wrong early-stop effectively impossible
+    rather than merely improbable, at zero extra shuffle cost.
+    """
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
-        ).alias("h"),
+        ).alias("h1"),
+        F.coalesce(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("v", "u", F.lit(0x9E3779B9)), F.lit(998_244_353)
+                )
+            ),
+            F.lit(0),
+        ).alias("h2"),
+        F.coalesce(F.min("u"), F.lit(0)).alias("lo"),
+        F.coalesce(F.max("v"), F.lit(0)).alias("hi"),
     ).first()
-    return int(row["n"]), int(row["h"])
+    return (int(row["n"]), int(row["h1"]), int(row["h2"]),
+            int(row["lo"]), int(row["hi"]))
 
 
 def connected_components(

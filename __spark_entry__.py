@@ -665,11 +665,11 @@ def q_minhash_near_dups(spark, d):
 
 
 def q_simhash_near_dups(spark, d):
-    # max_hamming=4 is the scale-safe ceiling (12-13 bit chunk keys); wider
-    # radii would need 7-8 bit chunks whose buckets go quadratic at corpus
-    # scale — the operator rejects them (dedup.MAX_SIMHASH_HAMMING).
+    # Radius 8 via the generalized m-subset pigeonhole (round 4): c=10
+    # chunks, 2-subset keys of ~12.8 bits — exact recall at distance 8 with
+    # sub-quadratic bucket volume (operators/dedup.py module comment).
     docs = _t(spark, d, "documents").where(F.col("doc_id") < 300)
-    return DD.simhash_near_dups(docs, max_hamming=4)
+    return DD.simhash_near_dups(docs, max_hamming=8)
 
 
 def q_ngram_jaccard(spark, d):

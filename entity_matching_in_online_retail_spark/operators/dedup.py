@@ -127,43 +127,95 @@ def minhash_near_dups(
 #   (max_hamming+1) * C(n, 2) / 2^w
 # — at max_hamming=4 (w=12..13) that is ~n^2/4000 per position (fine); at
 # max_hamming=8 (w=7..8) buckets hold ~n/256 docs and candidate generation
-# goes quadratic at corpus scale. Radii above this cap need a different
-# scheme (sorted/rotated-table neighbor scan), not wider pigeonhole chunks.
-MAX_SIMHASH_HAMMING = 4
+# goes quadratic at corpus scale.
+#
+# Radii ABOVE 4 (round 4) use the GENERALIZED pigeonhole: split into
+# c = max_hamming + m chunks and key on every m-subset of chunks. Any
+# max_hamming bit errors can dirty at most max_hamming chunks, leaving >= m
+# clean ones, so some m-subset key matches exactly — recall is 100% by
+# construction, same guarantee as the single-chunk scheme. The m-subset key
+# is m*64/c bits wide; choosing the smallest m with width >= ~12 bits keeps
+# expected bucket volume ~ C(c,m) * C(n,2) / 2^12 — sub-quadratic like the
+# radius-4 case, at the cost of C(c,m) key rows per doc (45 at k=8, 455 at
+# k=12). This was chosen over the sorted/byte-rotated-table neighbor scan
+# the round-3 comment sketched because on Spark it is strictly better: no
+# global sort (hash-partitioned bucket join instead of a range-partitioned
+# window scan with boundary handling), deterministic 100% recall (the
+# rotation scan's recall depends on permutation count and window size), and
+# a provable volume bound. Above k=12 the key amplification (C(k+4,4) rows
+# per doc at the next width step) outweighs the bucket savings — capped.
+MAX_SIMHASH_HAMMING = 12
+
+
+def _simhash_subset_m(max_hamming: int) -> int:
+    """Smallest clean-chunk count m whose m-subset key is >= ~12 bits."""
+    for m in (1, 2, 3):
+        if m * 64 // (max_hamming + m) >= 12:
+            return m
+    raise ValueError(
+        f"max_hamming={max_hamming} > {MAX_SIMHASH_HAMMING}: even 3-subset "
+        "keys fall under 12 bits — candidate volume goes quadratic"
+    )
+
+
+def _chunk_value_cols(n_chunks: int) -> list:
+    """The 64-bit `_sh` column split into n_chunks bit-slice value columns."""
+    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    cols = []
+    for i in range(n_chunks):
+        bits = F.shiftrightunsigned(F.col("_sh"), offsets[i])
+        if widths[i] < 64:
+            bits = bits.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        cols.append(bits)
+    return cols
 
 
 def simhash_chunk_keys(sig: DataFrame, max_hamming: int) -> DataFrame:
     """(_id, _sh, chunk) blocking keys: the 64-bit signature split into
-    max_hamming+1 positional chunks (see MAX_SIMHASH_HAMMING for the
-    candidate-volume bound). Exposed so tests can account candidate volume
-    as sum over chunk buckets of C(size, 2)."""
-    c = max_hamming + 1
-    widths = [64 // c + (1 if i < 64 % c else 0) for i in range(c)]
-    offsets = [sum(widths[:i]) for i in range(c)]
-    chunk_cols = []
-    for i in range(c):
-        bits = F.shiftrightunsigned(F.col("_sh"), offsets[i])
-        if widths[i] < 64:
-            bits = bits.bitwiseAND(F.lit((1 << widths[i]) - 1))
-        chunk_cols.append(F.concat_ws(":", F.lit(str(i)), bits))
+    max_hamming+1 positional chunks (the m=1 pigeonhole; see module comment
+    for the volume bound). Exposed so tests can account candidate volume as
+    sum over chunk buckets of C(size, 2)."""
+    vals = _chunk_value_cols(max_hamming + 1)
+    chunk_cols = [
+        F.concat_ws(":", F.lit(str(i)), v) for i, v in enumerate(vals)
+    ]
     return sig.select("_id", "_sh", F.explode(F.array(*chunk_cols)).alias("chunk"))
+
+
+def simhash_subset_keys(sig: DataFrame, max_hamming: int, m: int) -> DataFrame:
+    """(_id, _sh, chunk) keys over every m-subset of c = max_hamming + m
+    chunks: any max_hamming errors leave >= m chunks clean, so a true pair
+    always shares at least one subset key (exact pigeonhole recall)."""
+    from itertools import combinations
+
+    c = max_hamming + m
+    vals = _chunk_value_cols(c)
+    subset_cols = [
+        F.concat_ws(":", F.lit("-".join(map(str, s))), *[vals[i] for i in s])
+        for s in combinations(range(c), m)
+    ]
+    return sig.select("_id", "_sh", F.explode(F.array(*subset_cols)).alias("chunk"))
 
 
 def simhash_candidates(sig: DataFrame, max_hamming: int) -> DataFrame:
     """(id_l, id_r, hamming) pairs within max_hamming, from a (_id, _sh)
-    signature table. Chunk count = max_hamming + 1 so the pigeonhole recall
-    guarantee covers exactly the requested distance; max_hamming is capped
-    at MAX_SIMHASH_HAMMING because narrower chunks make candidate volume
-    quadratic (bound in the module comment above)."""
+    signature table. Dispatches on radius: the plain chunk pigeonhole
+    (m=1, cheapest) up to 4, the generalized m-subset pigeonhole beyond
+    (still 100% recall, sub-quadratic volume — module comment), capped at
+    MAX_SIMHASH_HAMMING where key amplification takes over."""
     if not 0 <= max_hamming <= MAX_SIMHASH_HAMMING:
         raise ValueError(
             f"max_hamming={max_hamming} out of range [0, {MAX_SIMHASH_HAMMING}]: "
-            f"chunks of width 64/(max_hamming+1) < "
-            f"{64 // (MAX_SIMHASH_HAMMING + 1)} bits make candidate generation "
-            "quadratic at corpus scale (expected volume ~ chunks*n^2/2^width); "
-            "use a rotated-table neighbor scan for larger radii"
+            "even 3-subset pigeonhole keys fall under ~12 bits there — "
+            "expected candidate volume ~ C(c,m)*n^2/2^width goes quadratic "
+            "at corpus scale"
         )
-    keys = simhash_chunk_keys(sig, max_hamming)
+    m = _simhash_subset_m(max_hamming)
+    if m == 1:
+        keys = simhash_chunk_keys(sig, max_hamming)
+    else:
+        keys = simhash_subset_keys(sig, max_hamming, m)
     l = keys.select("chunk", F.col("_id").alias("id_l"), F.col("_sh").alias("sh_l"))
     r = keys.select("chunk", F.col("_id").alias("id_r"), F.col("_sh").alias("sh_r"))
     return (

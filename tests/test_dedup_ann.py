@@ -75,14 +75,56 @@ def test_simhash_candidates_full_recall_at_requested_distance(spark):
 
 
 def test_simhash_max_hamming_capped():
-    """Radii past MAX_SIMHASH_HAMMING mean 7-8 bit chunk keys whose buckets
-    go quadratic at corpus scale — the operator must refuse, not degrade."""
+    """Radii past MAX_SIMHASH_HAMMING mean even 3-subset keys fall under
+    ~12 bits and buckets go quadratic — the operator must refuse, not
+    degrade. Radii 5..12 are served by the m-subset pigeonhole (round 4)."""
     import pytest
 
     with pytest.raises(ValueError, match="quadratic"):
-        DD.simhash_candidates(None, max_hamming=8)
+        DD.simhash_candidates(None, max_hamming=13)
     with pytest.raises(ValueError):
         DD.simhash_candidates(None, max_hamming=-1)
+    assert DD._simhash_subset_m(4) == 1
+    assert DD._simhash_subset_m(8) == 2
+    assert DD._simhash_subset_m(12) == 3
+
+
+def test_simhash_radius8_subset_pigeonhole_full_recall(spark):
+    """Generalized pigeonhole at max_hamming=8 (c=10 chunks, 2-subset keys):
+    every planted pair within distance 8 is found (exact recall by the
+    2-clean-chunks argument), none beyond, and key amplification is exactly
+    C(10,2)=45 rows per doc — the documented volume trade."""
+    rng = np.random.default_rng(17)
+
+    def signed64(v: int) -> int:
+        return v - 2**64 if v >= 2**63 else v
+
+    def flip_bits(v: int, n: int) -> int:
+        for bit in rng.choice(64, size=n, replace=False):
+            v ^= 1 << int(bit)
+        return v
+
+    rows, expected, beyond = [], set(), set()
+    nid = 0
+    for b in range(40):
+        base = int(rng.integers(0, 2**63, dtype=np.int64))
+        base_id = nid
+        rows.append((nid, base))
+        nid += 1
+        rows.append((nid, signed64(flip_bits(base, b % 9))))  # distance 0..8
+        expected.add((base_id, nid))
+        nid += 1
+        rows.append((nid, signed64(flip_bits(base, 20))))  # far partner
+        beyond.add((base_id, nid))
+        nid += 1
+    sig = spark.createDataFrame(rows, "_id long, _sh long")
+    got = {(r["id_l"], r["id_r"]) for r in DD.simhash_candidates(sig, 8).collect()}
+    assert expected <= got, f"missed planted pairs: {sorted(expected - got)[:5]}"
+    assert not (got & beyond)
+
+    keys = DD.simhash_subset_keys(sig, 8, 2)
+    n_docs = sig.count()
+    assert keys.count() == n_docs * 45  # C(10, 2) keys per doc, no more
 
 
 def test_simhash_candidate_volume_bounded_under_skew(spark):

@@ -211,6 +211,94 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dims: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index: the corpus written parquet-PARTITIONED BY
+    its nearest-centroid cell, centroids journaled beside it.
+
+    This is the sandbox analog of the 100 TB claim in `ivf_topk`'s
+    docstring ("cell id becomes the Iceberg partition key"): a probed query
+    then reads nprobe/n_cells of the files, enforced by Spark partition
+    pruning — `ivf_topk_indexed` plans show PartitionFilters on `cell` and
+    tests/test_dedup_ann.py asserts the pruned input-file count."""
+    import json as _json
+    import os as _os
+
+    if centroids is None:
+        centroids = _kmeans_centroids(corpus, vec_col, n_cells, dims)
+    cdist = _cell_dists(vec_col, centroids)
+    with_cell = corpus.withColumn(
+        "cell", F.array_position(cdist, F.array_min(cdist)).cast("int") - 1
+    )
+    with_cell.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # underscore prefix: invisible to Spark's file listing, like _SUCCESS
+    with open(_os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        _json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over a materialized `ivf_write_index` index, reading ONLY
+    the probed cells' partitions.
+
+    The probed-cell set is collected driver-side to fold it into the scan
+    as a literal `cell IN (...)` predicate — that is what lets Catalyst
+    prune partitions at PLANNING time instead of shipping a runtime join
+    filter. The collect is bounded by n_cells (16-65k in practice), never
+    by corpus or query count: q_cells aggregates to DISTINCT cells first."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "_ivf_centroids.json")) as f:
+        centroids = _json.load(f)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qdist = _cell_dists("_qv", centroids)
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.arrays_zip(qdist.alias("d"), idx.alias("i"))
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    q_cells = q.select(
+        "query_id", F.explode(probed).alias("_p")
+    ).select("query_id", F.col("_p.i").cast("int").alias("cell"))
+
+    probe_set = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    corpus = (
+        spark.read.parquet(index_path)
+        .where(F.col("cell").isin([int(c) for c in probe_set]))
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+        )
+    )
+    scored = (
+        q_cells.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -302,6 +302,44 @@ def test_ann_ivf_planted_near_dups(spark):
     assert hits >= 54, f"only {hits}/60 planted copies found as top-1"
 
 
+def test_ann_ivf_indexed_partition_pruning(spark, tmp_path):
+    """The materialized IVF index (corpus parquet-partitioned by cell) must
+    (a) return exactly what the in-memory ivf_topk returns for the same
+    trained quantizer, and (b) PRUNE: the probed scan's plan carries a
+    PartitionFilters predicate on `cell` and reads only the probed cells'
+    files, not the whole index."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_index")
+    centroids = ann.ivf_write_index(emb, path, n_cells=16)
+
+    got = ann.ivf_topk_indexed(spark, queries, path, k=5, nprobe=2)
+    want = ann.ivf_topk(
+        queries, emb, k=5, n_cells=16, nprobe=2, centroids=centroids
+    )
+    tup = lambda df: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in df.collect()
+    }
+    assert tup(got) == tup(want)
+
+    # plan-golden: partition pruning fired on the probed-cell predicate.
+    # The FileScan's PartitionFilters are applied to the partition-dir index
+    # at scan planning — a literal `cell IN (...)` there IS the pruning
+    # (DataFrame.inputFiles() reports the unpruned relation, so the filter
+    # string, not inputFiles, is the evidence).
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        seg for seg in plan.split("FileScan parquet")
+        if "ivf_index" in seg.split("ReadSchema")[0]
+    ]
+    assert scan and "PartitionFilters" in scan[0]
+    pf = scan[0].split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell#" in pf and " IN " in pf, pf
+    probed = {int(x) for x in pf.split("(")[1].split(")")[0].split(",")}
+    assert 0 < len(probed) < 16  # strictly fewer cells than exist
+
+
 def test_embedding_near_dups_planted(spark):
     rng = np.random.default_rng(0)
     v = rng.standard_normal(64)

@@ -56,10 +56,11 @@ class IncrementResult:
 
 
 def incremental_pairs(
-    old_offers: DataFrame,
+    old_offers: DataFrame | None,
     new_offers: DataFrame,
     cfg: PipelineConfig,
     id_col: str = "record_id",
+    old_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs touching at least one new record.
 
@@ -69,13 +70,40 @@ def incremental_pairs(
     record. The increment's id set and its touched block keys are
     increment-sized — broadcast them; the full block table is never
     re-shuffled into pairs.
+
+    When `old_keys` (the persisted `block_keys` artifact of the run that
+    produced the existing clustering: (record_id, block_key), uncapped) is
+    given, old-record keys are READ, not recomputed — no scan of the old
+    corpus text happens at all. The key table is then restricted to blocks
+    containing a new record BEFORE capping; per-block capping commutes with
+    that restriction (row_number windows are per block_key), and blocks
+    without a new member can only yield old-old pairs, which the final
+    new-endpoint filter drops anyway — so the pair set is identical to the
+    recompute path (tested in tests/test_incremental.py). The fast path does
+    not touch `old_offers` at all — pass None to prove (by construction)
+    that an append plan contains no old-corpus scan.
     """
     new_ids = new_offers.select(id_col)
-    # Checkpointed offers carry bookkeeping columns (part_id) the fresh
-    # increment lacks — block over the shared offer schema.
-    cols = [c for c in new_offers.columns if c in set(old_offers.columns)]
-    union = old_offers.select(*cols).unionByName(new_offers.select(*cols))
-    keys = B.all_block_keys(union, cfg.blocking, id_col)
+    if old_keys is None:
+        if old_offers is None:
+            raise ValueError("old_offers is required when old_keys is not given")
+        # Checkpointed offers carry bookkeeping columns (part_id) the fresh
+        # increment lacks — block over the shared offer schema.
+        cols = [c for c in new_offers.columns if c in set(old_offers.columns)]
+        union = old_offers.select(*cols).unionByName(new_offers.select(*cols))
+        keys = B.all_block_keys(union, cfg.blocking, id_col)
+    else:
+        new_keys = B.all_block_keys(new_offers, cfg.blocking, id_col)
+        # Stale rows for records being (re)resolved this batch (crash
+        # recovery re-entries) are superseded by the fresh new_keys.
+        old_eff = old_keys.select(id_col, "block_key").join(
+            F.broadcast(new_ids), id_col, "left_anti"
+        )
+        touched0 = F.broadcast(new_keys.select("block_key").distinct())
+        keys = (
+            old_eff.join(touched0, "block_key", "left_semi")
+            .unionByName(new_keys)
+        )
     capped = B.cap_blocks(keys, cfg.blocking, id_col)
     touched = (
         capped.join(F.broadcast(new_ids), id_col, "left_semi")
@@ -94,7 +122,7 @@ def incremental_pairs(
 
 
 def incremental_assign(
-    old_offers: DataFrame,
+    old_offers: DataFrame | None,
     old_attrs: DataFrame,
     old_clusters: DataFrame,
     new_offers: DataFrame,
@@ -102,16 +130,19 @@ def incremental_assign(
     matcher: M.LinearMatcher,
     tau: float,
     cfg: PipelineConfig,
+    old_keys: DataFrame | None = None,
 ) -> IncrementResult:
     """Resolve `new_offers` against an existing clustering.
 
     old_attrs is the checkpointed `attrs` stage of the run that produced
-    `old_clusters`; idf is that run's fitted IDF table (frozen vocabulary).
+    `old_clusters`; idf is that run's fitted IDF table (frozen vocabulary);
+    old_keys (optional) is that run's persisted `block_keys` artifact — when
+    given, the append plan never recomputes old-record block keys.
     """
     new_attrs = FE.offers_with_vectors(new_offers, idf)
     attrs = old_attrs.select(*new_attrs.columns).unionByName(new_attrs)
 
-    pairs = incremental_pairs(old_offers, new_offers, cfg)
+    pairs = incremental_pairs(old_offers, new_offers, cfg, old_keys=old_keys)
     feats = FE.pair_features(
         pairs.select("id_l", "id_r"), attrs, gate_jaccard=cfg.scoring.gate_jaccard
     )

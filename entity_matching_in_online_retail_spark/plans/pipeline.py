@@ -149,7 +149,15 @@ class ERPipeline:
         n = self.cfg.n_checkpoint_partitions
 
         def build() -> DataFrame:
+            # Persist the fitted IDF as a first-class artifact BEFORE deriving
+            # attrs from it: the append path (jobs/run_append.py) loads this
+            # table instead of refitting over the whole corpus — the O(corpus)
+            # pass happens once at the full run, appends stay O(increment).
+            # attrs are computed from the read-back copy so the checkpoint and
+            # the artifact can never drift.
             idf = S.fit_idf(offers)
+            self.catalog.write(idf, "idf", mode="overwrite")
+            idf = self.catalog.read("idf")
             attrs = FE.offers_with_vectors(offers, idf)
             return attrs.withColumn(
                 "part_id", F.pmod(F.xxhash64("record_id"), F.lit(n)).cast("int")
@@ -162,7 +170,12 @@ class ERPipeline:
         n = self.cfg.n_checkpoint_partitions
 
         def build() -> DataFrame:
+            # Persist per-record block keys (uncapped) as an artifact: appends
+            # read these instead of recomputing LSH/prefix/domain keys over
+            # the whole corpus (operators/incremental.py old_keys fast path).
             keys = B.all_block_keys(offers, self.cfg.blocking)
+            self.catalog.write(keys, "block_keys", mode="overwrite")
+            keys = self.catalog.read("block_keys")
             # capped blocks feed block_stats AND both (small/hot) join branches
             # — truncate the lineage once instead of recomputing LSH 4x.
             capped = B.cap_blocks(keys, self.cfg.blocking).localCheckpoint(eager=True)

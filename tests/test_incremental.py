@@ -64,6 +64,24 @@ def test_incremental_equals_batch(spark):
     got, want = _labels(inc.assignments), _labels(batch_clusters)
     assert got == want  # identical labels, not just identical partitions
 
+    # old_keys fast path (persisted block_keys artifact): the restrict-then-
+    # cap plan must yield the exact same candidate pair set and labels as
+    # the recompute-over-union path.
+    old_keys = B.all_block_keys(offers_old, cfg.blocking).cache()
+    pairs_slow = INC.incremental_pairs(offers_old, offers_new, cfg)
+    pairs_fast = INC.incremental_pairs(
+        offers_old, offers_new, cfg, old_keys=old_keys
+    )
+    slow = {(r.id_l, r.id_r) for r in pairs_slow.collect()}
+    fast = {(r.id_l, r.id_r) for r in pairs_fast.collect()}
+    assert fast == slow
+
+    inc_fast = INC.incremental_assign(
+        offers_old, old_attrs, old_clusters, offers_new,
+        idf, DEFAULT_MATCHER, tau, cfg, old_keys=old_keys,
+    )
+    assert _labels(inc_fast.assignments) == want
+
 
 def _pages(spark, rows):
     ts = datetime.datetime(2026, 1, 1)

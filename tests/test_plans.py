@@ -225,3 +225,26 @@ def test_incremental_pairs_plan_shape(spark, tiny_spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # semi joins on increment-sized sides
     assert plan.count("LeftSemi") >= 3  # touched-keys + the two new-id sides
+
+
+def test_incremental_pairs_fast_path_no_corpus_scan(spark, tiny_spark):
+    """With the persisted block_keys artifact, the append pair plan must not
+    scan the old corpus at all — old_offers=None type-proves it, and the
+    plan must still broadcast the increment-sized sides."""
+    from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
+    from entity_matching_in_online_retail_spark.operators import blocking as B
+    from entity_matching_in_online_retail_spark.operators import incremental as INC
+    from entity_matching_in_online_retail_spark.operators.normalize import (
+        normalize_web_pages,
+    )
+
+    pages, _, _ = tiny_spark
+    offers = normalize_web_pages(pages, lang="en", use_html=True)
+    flag = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+    old_keys = B.all_block_keys(offers.where(~flag), DEFAULT_CONFIG.blocking)
+    pairs = INC.incremental_pairs(
+        None, offers.where(flag), DEFAULT_CONFIG, old_keys=old_keys
+    )
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

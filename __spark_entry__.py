@@ -713,6 +713,22 @@ def q_ann_ivf(spark, d):
     )
 
 
+def q_ann_ivf_indexed(spark, d):
+    # Round 4: materialized IVF index (corpus parquet-partitioned by cell)
+    # queried with planning-time partition pruning — result-equivalent to
+    # q_ann_ivf for the same quantizer (plan-tested); rows-only (iterative
+    # k-means, no SQL oracle).
+    import tempfile
+
+    emb = _t(spark, d, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
+    ann.ivf_write_index(emb, path, n_cells=16)
+    return ann.ivf_topk_indexed(spark, queries, path, k=3, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_embedding_near_dups(spark, d):
     # The embeddings fixture has no qualifying pairs (max pairwise cosine
     # ~0.49), so plant deterministic near-dups Spark-side: one copy per base
@@ -1063,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "stream_sessionize": q_stream_sessionize,
         "sample_seed": q_sample_seed,

@@ -31,7 +31,31 @@ def main() -> int:
     ap.add_argument("--master", required=True, help='e.g. "local-cluster[4,8,16384]" or "local[8]"')
     ap.add_argument("--total-cores", type=int, required=True)
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--stage", choices=["block", "score", "cc"], required=True)
+    ap.add_argument(
+        "--stage",
+        choices=["block", "score", "cc", "dedupe2", "dedupe1"],
+        required=True,
+        help="dedupe2/dedupe1: synthetic dropDuplicates exchange carrying "
+        "two bigint id columns vs one packed bigint — measures how "
+        "byte-sensitive the blocking dedupe exchange actually is "
+        "(the ceiling any pair-packing scheme could buy)",
+    )
+    ap.add_argument(
+        "--rows", type=int, default=100_000_000,
+        help="dedupe stages: synthetic pair count (duplicate factor 2x)",
+    )
+    ap.add_argument(
+        "--no-broadcast",
+        action="store_true",
+        help="spark.sql.autoBroadcastJoinThreshold=-1: force the shuffle-"
+        "join regime a 10^12-record cluster would be in (no broadcastable "
+        "side), so the twin-vs-unpivot / python-vs-jvm A/Bs measure the "
+        "storage-partitioned-join shape instead of the broadcast shape",
+    )
+    ap.add_argument(
+        "--codec", choices=["lz4", "zstd"], default="lz4",
+        help="spark.io.compression.codec for shuffle blocks",
+    )
     ap.add_argument(
         "--cosine-impl",
         choices=["python", "jvm"],
@@ -56,11 +80,15 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    extra = {"spark.io.compression.codec": args.codec}
+    if args.no_broadcast:
+        extra["spark.sql.autoBroadcastJoinThreshold"] = "-1"
     spark = get_spark(
         "scale_runner",
         cores=args.total_cores,
         shuffle_partitions=2 * args.total_cores,
         master=args.master,
+        extra_conf=extra,
     )
     wd = args.workdir
     cfg = DEFAULT_CONFIG
@@ -96,6 +124,29 @@ def main() -> int:
                 vector_fetch=args.vector_fetch,
             )
             _noop(M.score_pairs(feats, matcher))
+
+    elif args.stage in ("dedupe2", "dedupe1"):
+        # Synthetic replica of the blocking dedupe exchange: `rows` pair
+        # rows with a 2x duplicate factor (every pair appears twice, like a
+        # pair surfacing from two blockers), deduped via dropDuplicates.
+        # dedupe2 shuffles the real shape — two full-width xxhash64-derived
+        # bigints; dedupe1 shuffles ONE bigint (what packing would give IF
+        # ids fit 32 bits — they do not in this engine; see BENCH/BASELINE
+        # memo). The gap between the two is the byte-sensitivity ceiling.
+        n_pairs = args.rows
+        half = spark.range(args.rows // 2).select(
+            F.xxhash64("id").alias("id_l"), F.xxhash64("id", F.lit(1)).alias("id_r")
+        )
+        dup = half.unionAll(half).repartition(4 * args.total_cores)
+
+        if args.stage == "dedupe2":
+            def fn():
+                _noop(dup.dropDuplicates(["id_l", "id_r"]))
+        else:
+            packed = dup.select(F.xxhash64("id_l", "id_r").alias("pk"))
+
+            def fn():
+                _noop(packed.dropDuplicates(["pk"]))
 
     else:
         scored = spark.read.parquet(os.path.join(wd, "scores"))

@@ -69,32 +69,42 @@ def pair_features(
     pairs: DataFrame,
     attrs: DataFrame,
     gate_jaccard: float | None = None,
-    cosine_impl: str = "python",
-    vector_fetch: str = "twin",
+    cosine_impl: str = "auto",
+    vector_fetch: str = "auto",
 ) -> DataFrame:
     """(id_l, id_r) -> feature columns. attrs = offers_with_vectors output.
 
-    cosine_impl: "python" (default) computes the tf-idf cosine inside the
-    fused Arrow UDF alongside JW; "jvm" computes it as a pure Catalyst
-    expression (array_intersect + positional weight lookups), so the KB-wide
-    tf-idf vectors never cross the Arrow boundary and the Python worker sees
-    only the two title strings. Feature VALUES are identical modulo float
-    summation order (<1e-12; plan-tested). Measured on the 54.9M-pair bench
-    corpus (warm, fresh JVM, min of 3): a wash at local[8] (43.5s python vs
-    44.8s jvm) — python stays the default; jvm remains the right choice when
-    Python-worker memory or Arrow transfer is the binding constraint.
+    cosine_impl: "python" computes the tf-idf cosine inside the fused Arrow
+    UDF alongside JW; "jvm" computes it as a pure Catalyst expression
+    (array_intersect + positional weight lookups), so the KB-wide tf-idf
+    vectors never cross the Arrow boundary and the Python worker sees only
+    the two title strings. Feature VALUES are identical modulo float
+    summation order (<1e-12; plan-tested). Measured (fresh-JVM min-of-reps,
+    sf1 266M pairs): python wins when the box is under-committed (local[8]:
+    Python workers ride cores outside the task budget) and loses when it is
+    saturated (broadcast regime local[32]: jvm −9%) or when broadcasts are
+    disabled entirely (the cluster-emulation regime: jvm 197.8s vs python
+    254.7s, −22% — BENCH/BASELINE.md round-4 memo). "auto" (default) picks
+    jvm when the session disables broadcasts (cgroup-capped cluster shape),
+    python otherwise (local/under-committed shape).
 
-    vector_fetch: "twin" (default) joins the vector table once per side;
-    "unpivot" posexplodes survivors to (pair, side, rid), joins the vector
-    table ONCE, and regroups by pair key — one vector exchange instead of
-    two, at the cost of shuffling the survivor stream with its fetched
-    vectors. Measured (same protocol): twin wins at both local[8]
-    (45.2s vs 51.2s) and local[32] (18.6s vs 23.0s) — the regroup shuffle
-    of vector-carrying survivors costs more than the second broadcast
-    build, so twin stays the default. unpivot is kept because at 10^12
-    records (no broadcastable side) it becomes one storage-partitioned
-    join + regroup vs two storage-partitioned joins — a genuinely
-    different trade on a real cluster.
+    vector_fetch: "twin" joins the vector table once per side; "unpivot"
+    posexplodes survivors to (pair, side, rid), joins the vector table
+    ONCE, and regroups by pair key — one vector exchange instead of two,
+    at the cost of shuffling the survivor stream with its fetched vectors.
+    Measured (fresh-JVM min-of-reps): in the BROADCAST regime twin wins
+    (sf0.1 local[32]: 18.6s vs 23.0s; a wash at sf1) — the regroup shuffle
+    costs more than the second broadcast build. In the NO-BROADCAST regime
+    (autoBroadcastJoinThreshold=-1, the shape a 10^12-record cluster is in
+    because nothing fits a broadcast: every fetch is a shuffle join) the
+    sf1 walls are a WASH (min 255.4s vs twin 254.7s — the stage is
+    dominated by the cheap-phase fetch of the full 266M-pair stream, which
+    both shapes do identically; BENCH/BASELINE.md round-4 memo). "auto"
+    (default) picks twin under broadcasts (measured winner) and unpivot
+    when broadcasts are disabled: equal measured cost on one box, but one
+    vector exchange instead of two once exchanges ride a real cluster
+    network — an analyzed tiebreak, not a measured win, and labeled as
+    such.
 
     gate_jaccard: cheap-feature cascade for the scoring path. The codegen'd
     features (Jaccard/Levenshtein/price/brand) are computed for every pair;
@@ -116,6 +126,19 @@ def pair_features(
     # fetches are broadcast hash joins (zero shuffle of the pair table); at
     # 10^12 records they become storage-partitioned joins on id-bucketed
     # Iceberg tables.
+    if vector_fetch == "auto" or cosine_impl == "auto":
+        thr = str(
+            pairs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+        )
+        no_broadcast = thr in ("-1", "-1b")
+        if vector_fetch == "auto":
+            # wash on walls in both regimes at sf1; tiebreak on exchange
+            # count — unpivot does ONE shuffled vector fetch where twin does
+            # two, which is the cheaper shape once exchanges ride a real
+            # cluster network instead of one box's NVMe.
+            vector_fetch = "unpivot" if no_broadcast else "twin"
+        if cosine_impl == "auto":
+            cosine_impl = "jvm" if no_broadcast else "python"
     light_cols = ["record_id", "token_hashes", "n_tokens", "title_norm", "brand", "price"]
     vec_cols = ["record_id", "tfidf_idx", "tfidf_val"]
     light_l = attrs.select([F.col(c).alias(f"l_{c}") for c in light_cols])

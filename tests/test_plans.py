@@ -227,6 +227,33 @@ def test_incremental_pairs_plan_shape(spark, tiny_spark):
     assert plan.count("LeftSemi") >= 3  # touched-keys + the two new-id sides
 
 
+def test_vector_fetch_auto_follows_broadcast_regime(spark, tiny_spark):
+    """vector_fetch='auto' must resolve to the measured per-regime winner:
+    twin fetches under the broadcast threshold, the single-exchange unpivot
+    shape when broadcasts are disabled (the 10^12-record cluster regime)."""
+    from entity_matching_in_online_retail_spark.functions import similarity as S
+    from entity_matching_in_online_retail_spark.operators import features as FE
+    from entity_matching_in_online_retail_spark.operators.normalize import (
+        normalize_web_pages,
+    )
+
+    pages, _, _ = tiny_spark
+    offers = normalize_web_pages(pages, lang="en", use_html=True)
+    attrs = FE.offers_with_vectors(offers, S.fit_idf(offers))
+    pairs = offers.select(F.col("record_id").alias("id_l")).limit(3).crossJoin(
+        offers.select(F.col("record_id").alias("id_r")).limit(3)
+    )
+    plan_bc = plan_of(FE.pair_features(pairs, attrs))
+    assert "posexplode" not in plan_bc.lower()  # twin under broadcasts
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_nobc = plan_of(FE.pair_features(pairs, attrs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "posexplode" in plan_nobc.lower()  # unpivot when nothing broadcasts
+
+
 def test_incremental_pairs_fast_path_no_corpus_scan(spark, tiny_spark):
     """With the persisted block_keys artifact, the append pair plan must not
     scan the old corpus at all — old_offers=None type-proves it, and the

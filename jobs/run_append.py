@@ -71,457 +71,48 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entity_matching_in_online_retail_spark import fixtures as fx
-from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG, PipelineConfig
-from entity_matching_in_online_retail_spark.functions import similarity as S
-from entity_matching_in_online_retail_spark.operators import blocking as B
-from entity_matching_in_online_retail_spark.operators import features as FE
-from entity_matching_in_online_retail_spark.operators import incremental as INC
-from entity_matching_in_online_retail_spark.operators import model as M
-from entity_matching_in_online_retail_spark.operators.normalize import (
-    normalize_web_pages,
-)
+from entity_matching_in_online_retail_spark.config import DEFAULT_CONFIG
 from entity_matching_in_online_retail_spark.plans import evaluate as EV
 from entity_matching_in_online_retail_spark.plans.pipeline import ERPipeline
 from entity_matching_in_online_retail_spark.session import get_spark
-from entity_matching_in_online_retail_spark.sources import manifest as MF
+
+# The append engine itself lives in the package (usable from the batch CLI
+# here AND from streaming/append_stream.py foreachBatch); re-export the full
+# surface so existing imports of this module keep working.
+from entity_matching_in_online_retail_spark.plans.append import (  # noqa: F401
+    COMPACT_STATE,
+    INC_STAGES,
+    OFFER_COLS,
+    _atomic_write,
+    _committed_marker,
+    _compact_state_path,
+    _finish_compaction,
+    _heal_batch_artifacts,
+    _inc_dir,
+    _list_batches,
+    _load_artifacts,
+    _load_known_offers,
+    _next_batch_name,
+    _read_increments,
+    _recommit_stage,
+    _recover_compaction,
+    _swap_stage,
+    _uncommitted_batches,
+    _write_compact_state,
+    append_batch,
+    compact_workdir,
+)
 
 DEMO_SIZES = {"tiny": 50, "small": 2000}
-
-OFFER_COLS = [
-    "record_id", "url", "domain", "warc_ts", "lang", "text",
-    "norm_text", "tokens", "title_norm", "brand", "price",
-]
-
-INC_STAGES = ("offers", "attrs", "block_keys")
-_BATCH_RE = re.compile(r"^batch-(\d{4,})$")
-COMPACT_STATE = "_COMPACT_STATE.json"
-
-
-# --------------------------------------------------------------- batch dirs
-
-
-def _inc_dir(workdir: str, stage: str = "offers") -> str:
-    return os.path.join(workdir, "increments", stage)
-
-
-def _list_batches(root: str) -> list[str]:
-    if not os.path.isdir(root):
-        return []
-    return sorted(b for b in os.listdir(root) if _BATCH_RE.match(b))
-
-
-def _next_batch_name(root: str) -> str:
-    """max existing index + 1: deleting an earlier batch dir can never make
-    a later append collide (ADVICE r3)."""
-    idxs = [int(_BATCH_RE.match(b).group(1)) for b in _list_batches(root)]
-    return f"batch-{(max(idxs) + 1 if idxs else 0):04d}"
-
-
-def _atomic_write(df: DataFrame, root: str, name: str) -> None:
-    """Write parquet to a dot-prefixed temp dir, fsync-rename to `name`.
-
-    Spark ignores dot-/underscore-prefixed paths when listing, so a crash
-    mid-write leaves only an invisible temp dir — a batch dir under its
-    final name is always complete (ADVICE r3)."""
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, f".tmp-{name}")
-    final = os.path.join(root, name)
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(final):  # deterministic re-derivation (recovery heal)
-        shutil.rmtree(final)
-    os.rename(tmp, final)
-
-
-def _committed_marker(workdir: str, batch: str) -> str:
-    return os.path.join(_inc_dir(workdir, "offers"), batch, "_COMMITTED")
-
-
-def _uncommitted_batches(workdir: str) -> list[str]:
-    return [
-        b
-        for b in _list_batches(_inc_dir(workdir, "offers"))
-        if not os.path.exists(_committed_marker(workdir, b))
-    ]
-
-
-# ------------------------------------------------------------------- loads
-
-
-def _read_increments(
-    spark: SparkSession, workdir: str, stage: str
-) -> DataFrame | None:
-    """ONE recursive parquet read of the whole increments/<stage> root —
-    the plan has a constant number of scan legs regardless of how many
-    batches have been appended (VERDICT r3 #3)."""
-    root = _inc_dir(workdir, stage)
-    if not _list_batches(root):
-        return None
-    return (
-        spark.read.option("recursiveFileLookup", "true").parquet(root)
-    )
-
-
-def _load_known_offers(spark: SparkSession, workdir: str) -> tuple[DataFrame, DataFrame]:
-    """(base offers, base ∪ increment offers) on the shared offer schema."""
-    base = spark.read.parquet(os.path.join(workdir, "offers")).select(*OFFER_COLS)
-    inc = _read_increments(spark, workdir, "offers")
-    all_offers = base if inc is None else base.unionByName(inc.select(*OFFER_COLS))
-    return base, all_offers
-
-
-def _load_artifacts(
-    spark: SparkSession, workdir: str, base_offers: DataFrame
-) -> tuple[DataFrame, DataFrame | None]:
-    """(frozen idf, base block_keys or None) — persisted by the base run's
-    stage_attrs/stage_pairs; refit fallback keeps pre-round-4 workdirs
-    usable (at the documented O(corpus) cost)."""
-    idf_path = os.path.join(workdir, "idf")
-    if os.path.isdir(idf_path):
-        idf = spark.read.parquet(idf_path)
-    else:
-        idf = S.fit_idf(base_offers)
-    keys_path = os.path.join(workdir, "block_keys")
-    base_keys = spark.read.parquet(keys_path) if os.path.isdir(keys_path) else None
-    return idf, base_keys
-
-
-# ------------------------------------------------------------------ append
-
-
-def append_batch(
-    spark: SparkSession,
-    workdir: str,
-    new_pages: DataFrame,
-    cfg: PipelineConfig = DEFAULT_CONFIG,
-    use_html: bool = True,
-) -> dict:
-    """Resolve one batch against the workdir's clustering; persist the
-    increment artifacts + updated clusters + per-batch merges; return
-    summary counts."""
-    _recover_compaction(workdir)
-    base_offers, known_offers = _load_known_offers(spark, workdir)
-    old_clusters = spark.read.parquet(os.path.join(workdir, "clusters"))
-    with open(os.path.join(workdir, "model.json")) as f:
-        saved = json.load(f)
-    matcher = M.LinearMatcher(
-        tuple(saved["feature_cols"]), tuple(saved["coefficients"]),
-        float(saved["intercept"]),
-    )
-    tau = float(saved["threshold"])
-    idf, base_keys = _load_artifacts(spark, workdir, base_offers)
-
-    incoming = (
-        normalize_web_pages(new_pages, lang=cfg.lang_filter, use_html=use_html)
-        .select(*OFFER_COLS)
-        .join(known_offers.select("record_id"), "record_id", "left_anti")
-    )
-
-    # Crash recovery, record-level but pruned to UNCOMMITTED batches only
-    # (the common case runs zero recovery joins): members of an unmarked
-    # batch that never made it into clusters/ re-enter as part of this
-    # batch; members already in clusters/ (marker-write crash window) stay
-    # resolved. Missing attr/key dirs of those batches are re-derived below.
-    pending = _uncommitted_batches(workdir)
-    if pending:
-        pend_offers = None
-        for b in pending:
-            d = spark.read.parquet(
-                os.path.join(_inc_dir(workdir, "offers"), b)
-            ).select(*OFFER_COLS)
-            pend_offers = d if pend_offers is None else pend_offers.unionByName(d)
-        orphans = pend_offers.join(
-            old_clusters.select("record_id"), "record_id", "left_anti"
-        )
-    else:
-        orphans = incoming.limit(0)
-    new_offers = incoming.unionByName(orphans).localCheckpoint(eager=True)
-    new_ids = F.broadcast(new_offers.select("record_id"))
-
-    resolved_offers = known_offers.join(new_ids, "record_id", "left_anti")
-
-    out = {
-        "base_records": resolved_offers.count(),
-        "new_records": incoming.count(),
-        "recovered_records": orphans.count(),
-        "clusters_before": old_clusters.select("cluster_id").distinct().count(),
-    }
-
-    if out["new_records"] == 0 and out["recovered_records"] == 0:
-        # Already applied: nothing to resolve, nothing to write.
-        for b in pending:  # only possible if a marker write was lost
-            _heal_batch_artifacts(spark, workdir, b, idf, cfg)
-            open(_committed_marker(workdir, b), "w").close()
-        out.update(clusters_after=out["clusters_before"], merges=0)
-        return out
-
-    # Attr/key stores: base checkpoint ∪ increments, minus rows for records
-    # being (re)resolved this batch — a broadcast anti-join on the
-    # increment's ids, never a corpus×corpus join.
-    vec_cols = FE.offers_with_vectors(base_offers, idf).columns
-    attrs_store = spark.read.parquet(os.path.join(workdir, "attrs")).select(*vec_cols)
-    inc_attrs = _read_increments(spark, workdir, "attrs")
-    if inc_attrs is not None:
-        attrs_store = attrs_store.unionByName(inc_attrs.select(*vec_cols))
-    old_attrs = attrs_store.join(new_ids, "record_id", "left_anti")
-
-    old_keys = base_keys
-    if old_keys is not None:
-        inc_keys = _read_increments(spark, workdir, "block_keys")
-        if inc_keys is not None:
-            old_keys = old_keys.select("record_id", "block_key").unionByName(
-                inc_keys.select("record_id", "block_key")
-            )
-
-    # With the persisted key artifact, old_offers is not needed at all —
-    # pass None so the append plan provably contains no old-corpus scan.
-    res = INC.incremental_assign(
-        None if old_keys is not None else resolved_offers,
-        old_attrs, old_clusters, new_offers,
-        idf, matcher, tau, cfg, old_keys=old_keys,
-    )
-    assignments = res.assignments.localCheckpoint(eager=True)
-    merges = res.merges.localCheckpoint(eager=True)
-    out.update(
-        clusters_after=assignments.select("cluster_id").distinct().count(),
-        merges=merges.count(),
-    )
-
-    # Write order is the crash contract: batch artifacts first (offers,
-    # then attrs, then keys), clusters second, _COMMITTED markers last.
-    batch_name = None
-    if out["new_records"] > 0:
-        batch_name = _next_batch_name(_inc_dir(workdir, "offers"))
-        _atomic_write(incoming, _inc_dir(workdir, "offers"), batch_name)
-        _atomic_write(
-            FE.offers_with_vectors(incoming, idf),
-            _inc_dir(workdir, "attrs"), batch_name,
-        )
-        _atomic_write(
-            B.all_block_keys(incoming, cfg.blocking),
-            _inc_dir(workdir, "block_keys"), batch_name,
-        )
-    for b in pending:
-        _heal_batch_artifacts(spark, workdir, b, idf, cfg)
-
-    assignments.write.mode("overwrite").parquet(os.path.join(workdir, "clusters"))
-    _atomic_write(
-        merges, os.path.join(workdir, "merges"),
-        _next_batch_name(os.path.join(workdir, "merges")),
-    )
-
-    for b in pending + ([batch_name] if batch_name else []):
-        open(_committed_marker(workdir, b), "w").close()
-    return out
-
-
-def _heal_batch_artifacts(
-    spark: SparkSession, workdir: str, batch: str, idf: DataFrame, cfg: PipelineConfig
-) -> None:
-    """Re-derive a crashed batch's missing attrs/block_keys dirs from its
-    offers dir + the frozen IDF (deterministic ⇒ identical content)."""
-    offers = spark.read.parquet(
-        os.path.join(_inc_dir(workdir, "offers"), batch)
-    ).select(*OFFER_COLS)
-    if not os.path.isdir(os.path.join(_inc_dir(workdir, "attrs"), batch)):
-        _atomic_write(
-            FE.offers_with_vectors(offers, idf), _inc_dir(workdir, "attrs"), batch
-        )
-    if not os.path.isdir(os.path.join(_inc_dir(workdir, "block_keys"), batch)):
-        _atomic_write(
-            B.all_block_keys(offers, cfg.blocking),
-            _inc_dir(workdir, "block_keys"), batch,
-        )
-
-
-# -------------------------------------------------------------- compaction
-
-
-def _swap_stage(workdir: str, stage: str) -> None:
-    """Idempotent scratch→live swap: <stage>.compact → <stage>, old copy
-    parked at <stage>.pre and removed. Every rename is existence-guarded so
-    re-running after a crash at any point converges."""
-    c = os.path.join(workdir, f"{stage}.compact")
-    s = os.path.join(workdir, stage)
-    p = os.path.join(workdir, f"{stage}.pre")
-    if os.path.isdir(c):
-        if os.path.isdir(s):
-            if os.path.isdir(p):  # stale parking dir from an older crash
-                shutil.rmtree(p)
-            os.rename(s, p)
-        os.rename(c, s)
-    if os.path.isdir(p):
-        shutil.rmtree(p)
-
-
-def _compact_state_path(workdir: str) -> str:
-    return os.path.join(workdir, COMPACT_STATE)
-
-
-def _write_compact_state(workdir: str, state: dict) -> None:
-    tmp = _compact_state_path(workdir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f, sort_keys=True)
-    os.replace(tmp, _compact_state_path(workdir))
-
-
-def _finish_compaction(workdir: str, state: dict) -> None:
-    for stage in INC_STAGES:
-        if stage not in state["done"]:
-            _swap_stage(workdir, stage)
-            state["done"].append(stage)
-            _write_compact_state(workdir, state)
-    for stage in INC_STAGES:
-        for b in state["batches"]:
-            shutil.rmtree(os.path.join(_inc_dir(workdir, stage), b), ignore_errors=True)
-    os.remove(_compact_state_path(workdir))
-
-
-def _recover_compaction(workdir: str) -> None:
-    """Roll an interrupted compaction forward (state journal present ⇒ all
-    scratch dirs were complete) or discard partial scratch (no journal)."""
-    sp = _compact_state_path(workdir)
-    if os.path.exists(sp):
-        with open(sp) as f:
-            state = json.load(f)
-        _finish_compaction(workdir, state)
-        return
-    for stage in INC_STAGES:
-        c = os.path.join(workdir, f"{stage}.compact")
-        if os.path.isdir(c):
-            shutil.rmtree(c)
-        p = os.path.join(workdir, f"{stage}.pre")
-        if os.path.isdir(p):  # crash between renames without a journal
-            if not os.path.isdir(os.path.join(workdir, stage)):
-                os.rename(p, os.path.join(workdir, stage))
-            else:
-                shutil.rmtree(p)
-
-
-def compact_workdir(
-    spark: SparkSession, workdir: str, cfg: PipelineConfig = DEFAULT_CONFIG
-) -> dict:
-    """Fold committed increments into the offers/attrs/block_keys stores.
-
-    After compaction the append read path is back to exactly one scan leg
-    per store. Manifest markers for the manifest-gated stages are
-    recommitted under a `compact:<token>` lineage BEFORE the swap: markers
-    then never describe pre-compaction data as current, and any later
-    full-pipeline run sees a lineage mismatch and rebuilds from its input
-    instead of trusting a corpus that has silently grown.
-    """
-    _recover_compaction(workdir)
-    batches = [
-        b
-        for b in _list_batches(_inc_dir(workdir, "offers"))
-        if os.path.exists(_committed_marker(workdir, b))
-    ]
-    if _uncommitted_batches(workdir):
-        raise RuntimeError(
-            "uncommitted increments present — run an (empty) append first to heal"
-        )
-    if not batches:
-        return {"compacted_batches": 0}
-
-    n = cfg.n_checkpoint_partitions
-    token = f"{len(batches)}:{batches[-1]}"
-    base_offers = spark.read.parquet(os.path.join(workdir, "offers"))
-    inc_offers = _read_increments(spark, workdir, "offers").select(*OFFER_COLS)
-    folded_offers = base_offers.select(*OFFER_COLS, "part_id").unionByName(
-        inc_offers.withColumn(
-            "part_id", F.pmod(F.xxhash64("url"), F.lit(n)).cast("int")
-        )
-    )
-    folded_offers.write.mode("overwrite").partitionBy("part_id").parquet(
-        os.path.join(workdir, "offers.compact")
-    )
-
-    idf, base_keys = _load_artifacts(spark, workdir, base_offers)
-    vec_cols = FE.offers_with_vectors(base_offers.select(*OFFER_COLS), idf).columns
-    folded_attrs = (
-        spark.read.parquet(os.path.join(workdir, "attrs"))
-        .select(*vec_cols)
-        .unionByName(_read_increments(spark, workdir, "attrs").select(*vec_cols))
-        .withColumn("part_id", F.pmod(F.xxhash64("record_id"), F.lit(n)).cast("int"))
-    )
-    folded_attrs.write.mode("overwrite").partitionBy("part_id").parquet(
-        os.path.join(workdir, "attrs.compact")
-    )
-
-    if base_keys is None:  # legacy workdir: derive the artifact now
-        base_keys = B.all_block_keys(base_offers.select(*OFFER_COLS), cfg.blocking)
-    folded_keys = base_keys.select("record_id", "block_key").unionByName(
-        _read_increments(spark, workdir, "block_keys").select(
-            "record_id", "block_key"
-        )
-    )
-    folded_keys.write.mode("overwrite").parquet(
-        os.path.join(workdir, "block_keys.compact")
-    )
-
-    # Manifest recommit (markers-first: a crash here leaves data unfolded
-    # but increments intact — reads stay correct, rerun converges).
-    cfg_hash = cfg.config_hash()
-    scratch_offers = spark.read.parquet(os.path.join(workdir, "offers.compact"))
-    _recommit_stage(
-        workdir, "offers", scratch_offers, cfg_hash,
-        f"compact:{token}", n, ts_col="warc_ts",
-    )
-    offers_fp = MF.stage_fingerprint(workdir, "offers")
-    scratch_attrs = spark.read.parquet(os.path.join(workdir, "attrs.compact"))
-    _recommit_stage(
-        workdir, "attrs", scratch_attrs, cfg_hash, f"offers:{offers_fp}", n
-    )
-
-    state = {"phase": "built", "batches": batches, "done": []}
-    _write_compact_state(workdir, state)
-    _finish_compaction(workdir, state)
-    return {"compacted_batches": len(batches)}
-
-
-def _recommit_stage(
-    workdir: str,
-    stage: str,
-    df: DataFrame,
-    cfg_hash: str,
-    lineage: str,
-    n_parts: int,
-    ts_col: str | None = None,
-) -> None:
-    """Recompute per-partition manifest markers (rows/checksum/ts-range)
-    from folded data — same metric contract as ERPipeline._checkpoint_stage."""
-    first_col = [c for c in df.columns if c != "part_id"][0]
-    aggs = [
-        F.count(F.lit(1)).alias("rows"),
-        F.coalesce(
-            F.sum(F.pmod(F.xxhash64(first_col), F.lit(1_000_000_007))), F.lit(0)
-        ).alias("checksum"),
-    ]
-    if ts_col and ts_col in df.columns:
-        aggs += [
-            F.min(ts_col).cast("string").alias("min_ts"),
-            F.max(ts_col).cast("string").alias("max_ts"),
-        ]
-    stats = {
-        int(r["part_id"]): r.asDict() for r in df.groupBy("part_id").agg(*aggs).collect()
-    }
-    MF.clear_stage(workdir, stage)
-    for p in range(n_parts):
-        m = stats.get(p, {"rows": 0, "checksum": 0})
-        m.pop("part_id", None)
-        MF.commit_partition(workdir, stage, p, cfg_hash, lineage, m)
 
 
 # --------------------------------------------------------------------- cli

@@ -562,6 +562,41 @@ def q_quality_score(spark, d):
     return docs.select("doc_id", TS.quality_score(F.col("text"), toks).alias("q"))
 
 
+def q_percentiles(spark, d):
+    # Exact percentiles (SQL `percentile` is exact in Spark; approximate
+    # variant covered rows-only by approx_count_distinct's family) — G-agg
+    # coverage for distribution stats over the corpus.
+    return (
+        _t(spark, d, "documents")
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90"),
+            F.expr("percentile(n_chars, 0.99)").alias("p99"),
+        )
+        .select(
+            "lang",
+            F.round("p50", 4).alias("p50"),
+            F.round("p90", 4).alias("p90"),
+            F.round("p99", 4).alias("p99"),
+        )
+    )
+
+
+def q_ntile_percent_rank(spark, d):
+    w = W.partitionBy("lang").orderBy(F.col("n_chars"), F.col("doc_id"))
+    return (
+        _t(spark, d, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+        )
+        .where(F.col("doc_id") < 300)
+    )
+
+
 def q_rank_dense(spark, d):
     w = W.partitionBy("lang").orderBy(F.col("n_chars").desc())
     return (
@@ -1071,6 +1106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_ws": q_token_count_ws,
         "lang_id": q_lang_id,
         "csv_roundtrip": q_csv_roundtrip,
+        # new round-4 oracle-backed queries (enter the 50-slot window on a
+        # future rotation; sweep-checked every run meanwhile):
+        "percentiles": q_percentiles,
+        "ntile_percent_rank": q_ntile_percent_rank,
         # rows-only (no oracle entry): hash-based / iterative operators
         "approx_count_distinct": q_approx_count_distinct,
         "soundex": q_soundex,
@@ -1332,6 +1371,21 @@ def oracle_sql() -> dict[str, str]:
             "rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS drnk "
             "FROM documents) WHERE rnk <= 10"
+        ),
+        # Spark SQL `percentile` is the exact linear-interpolation quantile —
+        # the same definition as DuckDB's quantile_cont.
+        "percentiles": (
+            "SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50, "
+            "round(quantile_cont(n_chars, 0.9), 4) AS p90, "
+            "round(quantile_cont(n_chars, 0.99), 4) AS p99 "
+            "FROM documents GROUP BY lang"
+        ),
+        "ntile_percent_rank": (
+            "SELECT lang, doc_id, quartile, pr FROM ("
+            "SELECT lang, doc_id, "
+            "ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile, "
+            "round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 9) AS pr "
+            "FROM documents) WHERE doc_id < 300"
         ),
         # The roundtrip queries export to CSV/JSONL and read back; the oracle
         # aggregates the original parquet, so the hash check proves the

@@ -227,6 +227,59 @@ def test_incremental_pairs_plan_shape(spark, tiny_spark):
     assert plan.count("LeftSemi") >= 3  # touched-keys + the two new-id sides
 
 
+def test_bucketed_attrs_join_avoids_attrs_exchange(spark, tiny_spark, tmp_path):
+    """The 10^12-record story: attrs bucketed by record_id make attribute
+    fetches storage-partitioned — the bucketed side feeds a sort-merge join
+    with NO Exchange above its scan (only the pair side shuffles). Sandbox
+    analog of the id-bucketed Iceberg table in README §scale design."""
+    from entity_matching_in_online_retail_spark.functions import similarity as S
+    from entity_matching_in_online_retail_spark.operators import features as FE
+    from entity_matching_in_online_retail_spark.operators.normalize import (
+        normalize_web_pages,
+    )
+
+    pages, _, _ = tiny_spark
+    offers = normalize_web_pages(pages, lang="en", use_html=True)
+    attrs = FE.offers_with_vectors(offers, S.fit_idf(offers))
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}/wh'")
+    (
+        attrs.write.mode("overwrite")
+        .bucketBy(8, "record_id")
+        .sortBy("record_id")
+        .saveAsTable("buckdb.attrs_bucketed")
+    )
+    try:
+        battrs = spark.table("buckdb.attrs_bucketed")
+        pairs = offers.select(F.col("record_id").alias("id_l")).distinct()
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = pairs.join(battrs, pairs.id_l == battrs.record_id)
+            plan = plan_of(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        # Sort-merge join whose BUCKETED subtree (the join's second child,
+        # from its Sort down to the bucketed scan) contains no Exchange —
+        # the scan's bucket layout provides the hash partitioning; only the
+        # pair side shuffles.
+        assert "SortMergeJoin" in plan
+        import re as _re
+
+        tree = plan.split("SortMergeJoin")[1]
+        # the right (bucketed) child is the first tree line whose rail has
+        # no ":" (left-child descendants all carry the ":" rail prefix)
+        m = _re.search(r"\n[^:\n]*\+- Sort", tree)
+        bucketed_subtree = tree[
+            m.start() : tree.index("Scan parquet spark_catalog.buckdb")
+        ]
+        assert "Exchange" not in bucketed_subtree, bucketed_subtree
+        assert "SelectedBucketsCount" in plan  # bucketed scan actually used
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckdb.attrs_bucketed")
+        spark.sql("DROP DATABASE IF EXISTS buckdb")
+
+
 def test_vector_fetch_auto_follows_broadcast_regime(spark, tiny_spark):
     """vector_fetch='auto' must resolve to the measured per-regime winner:
     twin fetches under the broadcast threshold, the single-exchange unpivot

@@ -231,18 +231,22 @@ def test_compaction_crash_rolls_forward(spark, tmp_path_factory):
     append_batch(spark, wd, pages.where(part == 4), cfg)
     want = _labels(spark.read.parquet(os.path.join(wd, "clusters")))
 
-    # run compaction but crash right after the journal is written
-    real_finish = RA._finish_compaction
+    # run compaction but crash right after the journal is written —
+    # patch the plans.append module, where compact_workdir resolves its
+    # globals (run_append only re-exports the names)
+    from entity_matching_in_online_retail_spark.plans import append as AP
+
+    real_finish = AP._finish_compaction
 
     def _crash(workdir, state):
         raise RuntimeError("simulated crash before swaps")
 
-    RA._finish_compaction = _crash
+    AP._finish_compaction = _crash
     try:
         with pytest.raises(RuntimeError, match="simulated crash"):
             compact_workdir(spark, wd, cfg)
     finally:
-        RA._finish_compaction = real_finish
+        AP._finish_compaction = real_finish
 
     assert os.path.exists(RA._compact_state_path(wd))
     # next entry (an empty append) recovers: journal drained, stores folded

@@ -264,15 +264,13 @@ def test_bucketed_attrs_join_avoids_attrs_exchange(spark, tiny_spark, tmp_path):
         # the scan's bucket layout provides the hash partitioning; only the
         # pair side shuffles.
         assert "SortMergeJoin" in plan
-        import re as _re
-
         tree = plan.split("SortMergeJoin")[1]
-        # the right (bucketed) child is the first tree line whose rail has
-        # no ":" (left-child descendants all carry the ":" rail prefix)
-        m = _re.search(r"\n[^:\n]*\+- Sort", tree)
-        bucketed_subtree = tree[
-            m.start() : tree.index("Scan parquet spark_catalog.buckdb")
-        ]
+        # the bucketed child is Sort -> Filter -> Scan with nothing nested,
+        # so the LAST "+- Sort" before the buckdb scan is its root (rail
+        # prefixes are unreliable: cached InMemoryRelations embed their
+        # inner plans rail-less inside the left child)
+        scan_at = tree.index("Scan parquet spark_catalog.buckdb")
+        bucketed_subtree = tree[tree.rindex("+- Sort", 0, scan_at) : scan_at]
         assert "Exchange" not in bucketed_subtree, bucketed_subtree
         assert "SelectedBucketsCount" in plan  # bucketed scan actually used
     finally:

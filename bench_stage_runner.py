@@ -33,7 +33,7 @@ def main() -> int:
     ap.add_argument("--workdir", required=True)
     ap.add_argument(
         "--stage",
-        choices=["block", "score", "cc", "dedupe2", "dedupe1"],
+        choices=["block", "score", "cc", "dedupe2", "dedupe1", "ingest", "tfidf"],
         required=True,
         help="dedupe2/dedupe1: synthetic dropDuplicates exchange carrying "
         "two bigint id columns vs one packed bigint — measures how "
@@ -71,6 +71,25 @@ def main() -> int:
         "unpivot fetch + pair-key regroup",
     )
     ap.add_argument(
+        "--pair-emit",
+        choices=["all", "lowest_slot"],
+        default="all",
+        help="block stage: duplicate pair emissions deduped by exchange "
+        "(all) vs suppressed at join time from the per-record key-slot "
+        "vectors, removing the dedupe exchange (lowest_slot)",
+    )
+    ap.add_argument(
+        "--corpus",
+        default=None,
+        help="ingest stage: bench corpus dir (reads <corpus>/web_pages)",
+    )
+    ap.add_argument(
+        "--no-artifacts",
+        action="store_true",
+        help="tfidf stage: skip the round-4 idf artifact persist+read-back "
+        "— the A/B for the BENCH_r04 er_tfidf_vectors regression question",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run the stage once untimed first: Catalyst planning + codegen "
@@ -103,7 +122,7 @@ def main() -> int:
         def fn():
             keys = B.all_block_keys(offers, cfg.blocking)
             capped = B.cap_blocks(keys, cfg.blocking).localCheckpoint(eager=True)
-            _noop(B.candidate_pairs(capped, cfg.blocking))
+            _noop(B.candidate_pairs(capped, cfg.blocking, emit=args.pair_emit))
 
     elif args.stage == "score":
         attrs = spark.read.parquet(os.path.join(wd, "attrs"))
@@ -124,6 +143,54 @@ def main() -> int:
                 vector_fetch=args.vector_fetch,
             )
             _noop(M.score_pairs(feats, matcher))
+
+    elif args.stage == "ingest":
+        # Replica of ERPipeline.stage_offers' build (normalize + partition
+        # + parquet write) minus the manifest bookkeeping — stage_offers
+        # gained NO artifact writes in round 4, so repeated fresh-JVM runs
+        # of this stage bound the noise floor behind the BENCH_r04
+        # er_ingest_normalize regression question.
+        from entity_matching_in_online_retail_spark.operators.normalize import (
+            normalize_web_pages,
+        )
+
+        pages = spark.read.parquet(os.path.join(args.corpus, "web_pages"))
+        n_pairs = None
+        scratch = os.path.join(wd, ".ab_ingest")
+
+        def fn():
+            off = normalize_web_pages(pages, lang=cfg.lang_filter, use_html=True)
+            off = off.withColumn(
+                "part_id",
+                F.pmod(F.xxhash64("url"), F.lit(cfg.n_checkpoint_partitions)).cast("int"),
+            )
+            off.write.mode("overwrite").partitionBy("part_id").parquet(scratch)
+
+    elif args.stage == "tfidf":
+        # Replica of ERPipeline.stage_attrs' build: fit idf, optionally
+        # persist+read-back the idf artifact (the round-4 addition under
+        # A/B), derive vectors, write the partitioned attrs parquet.
+        from entity_matching_in_online_retail_spark.functions import similarity as S
+
+        offers = spark.read.parquet(os.path.join(wd, "offers"))
+        n_pairs = None
+        scratch = os.path.join(wd, ".ab_tfidf")
+
+        def fn():
+            idf = S.fit_idf(offers)
+            if not args.no_artifacts:
+                idf.write.mode("overwrite").parquet(os.path.join(scratch, "idf"))
+                idf = spark.read.parquet(os.path.join(scratch, "idf"))
+            attrs = FE.offers_with_vectors(offers, idf)
+            attrs = attrs.withColumn(
+                "part_id",
+                F.pmod(
+                    F.xxhash64("record_id"), F.lit(cfg.n_checkpoint_partitions)
+                ).cast("int"),
+            )
+            attrs.write.mode("overwrite").partitionBy("part_id").parquet(
+                os.path.join(scratch, "attrs")
+            )
 
     elif args.stage in ("dedupe2", "dedupe1"):
         # Synthetic replica of the blocking dedupe exchange: `rows` pair
@@ -170,6 +237,7 @@ def main() -> int:
                 "n_pairs": n_pairs,
                 "master": args.master,
                 "warmup": args.warmup,
+                "no_artifacts": args.no_artifacts,
             }
         )
     )

@@ -57,11 +57,14 @@ def _next_batch_name(root: str) -> str:
 
 
 def _atomic_write(df: DataFrame, root: str, name: str) -> None:
-    """Write parquet to a dot-prefixed temp dir, fsync-rename to `name`.
+    """Write parquet to a dot-prefixed temp dir, then rename to `name`.
 
-    Spark ignores dot-/underscore-prefixed paths when listing, so a crash
-    mid-write leaves only an invisible temp dir — a batch dir under its
-    final name is always complete (ADVICE r3)."""
+    Spark ignores dot-/underscore-prefixed paths when listing, so a
+    PROCESS crash mid-write leaves only an invisible temp dir — a batch
+    dir under its final name is always complete (ADVICE r3). The contract
+    is process-crash atomicity only: no fsync/dir-sync is issued, so an
+    OS/power loss could persist the rename before the parquet bytes
+    (ADVICE r4 — docstring scoped accordingly)."""
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, f".tmp-{name}")
     final = os.path.join(root, name)
@@ -377,6 +380,15 @@ def compact_workdir(
     )
 
     idf, base_keys = _load_artifacts(spark, workdir, base_offers)
+    if not os.path.isdir(os.path.join(workdir, "idf")):
+        # Legacy (pre-round-4) workdir: _load_artifacts just refit the IDF
+        # from the PRE-fold base offers. Persist it BEFORE the swap —
+        # otherwise the next append's fallback would refit over the folded
+        # (grown) corpus, drifting the frozen vocabulary/weights away from
+        # those used to build every stored attrs vector (ADVICE r4).
+        # Symmetric with block_keys, which compaction materializes below.
+        _atomic_write(idf, workdir, "idf")
+        idf = spark.read.parquet(os.path.join(workdir, "idf"))
     vec_cols = FE.offers_with_vectors(base_offers.select(*OFFER_COLS), idf).columns
     folded_attrs = (
         spark.read.parquet(os.path.join(workdir, "attrs"))

@@ -258,3 +258,40 @@ def test_compaction_crash_rolls_forward(spark, tmp_path_factory):
     assert spark.read.parquet(os.path.join(wd, "offers")).count() == out[
         "base_records"
     ]
+
+
+def test_legacy_compaction_persists_prefold_idf(spark, tmp_path_factory):
+    """ADVICE r4 (medium): compacting a pre-round-4 workdir (no idf/
+    artifact) must write the refit IDF — fit over the PRE-fold base offers
+    — to <wd>/idf BEFORE the swap. Otherwise the next append's fallback
+    would refit over the folded (grown) corpus, silently drifting the
+    frozen vocabulary away from the weights baked into every stored attrs
+    vector."""
+    import run_append as RA
+
+    cfg = DEFAULT_CONFIG
+    wd = str(tmp_path_factory.mktemp("legacy_compact"))
+    corpus = fx.generate_corpus(n_entities=30, seed=29)
+    pages, labeled, _ = fx.corpus_to_spark(spark, corpus)
+    part = F.pmod(F.xxhash64("url"), F.lit(4))
+    base_pages = pages.where(part <= 2)
+    ERPipeline(spark, wd, cfg).run(base_pages, labeled_urls=labeled)
+    append_batch(spark, wd, pages.where(part == 3), cfg)
+
+    # what the frozen vocabulary must remain: idf fit on PRE-fold offers
+    want = {
+        r["token"]: round(r["idf"], 9)
+        for r in S.fit_idf(
+            normalize_web_pages(base_pages, lang=cfg.lang_filter)
+        ).collect()
+    }
+
+    shutil.rmtree(os.path.join(wd, "idf"))  # simulate a pre-round-4 workdir
+    out = compact_workdir(spark, wd, cfg)
+    assert out["compacted_batches"] == 1
+    assert os.path.isdir(os.path.join(wd, "idf"))  # persisted by the fix
+    got = {
+        r["token"]: round(r["idf"], 9)
+        for r in spark.read.parquet(os.path.join(wd, "idf")).collect()
+    }
+    assert got == want  # pre-fold vocabulary, NOT a refit over folded corpus

@@ -33,7 +33,10 @@ def main() -> int:
     ap.add_argument("--workdir", required=True)
     ap.add_argument(
         "--stage",
-        choices=["block", "score", "cc", "dedupe2", "dedupe1", "ingest", "tfidf"],
+        choices=[
+            "block", "score", "cc", "dedupe2", "dedupe1", "ingest", "tfidf",
+            "minhash",
+        ],
         required=True,
         help="dedupe2/dedupe1: synthetic dropDuplicates exchange carrying "
         "two bigint id columns vs one packed bigint — measures how "
@@ -191,6 +194,27 @@ def main() -> int:
             attrs.write.mode("overwrite").partitionBy("part_id").parquet(
                 os.path.join(scratch, "attrs")
             )
+
+    elif args.stage == "minhash":
+        # LLM-dedup surface at ER-corpus scale (VERDICT r4 #6): MinHash
+        # near-dup over the workdir's offers (norm_text is already
+        # normalized; normalize_text is idempotent — tested property).
+        # Candidate and verified counts ride the same action via observe().
+        from pyspark.sql import Observation
+
+        from entity_matching_in_online_retail_spark.operators import dedup as DD
+
+        offers = spark.read.parquet(os.path.join(wd, "offers"))
+        n_pairs = None
+
+        def fn():
+            nonlocal n_pairs
+            obs = Observation()  # fresh per run: an Observation attaches once
+            out = DD.minhash_near_dups(
+                offers, id_col="record_id", text_col="norm_text", threshold=0.8
+            ).observe(obs, F.count(F.lit(1)).alias("n_verified"))
+            _noop(out)
+            n_pairs = int(obs.get["n_verified"])
 
     elif args.stage in ("dedupe2", "dedupe1"):
         # Synthetic replica of the blocking dedupe exchange: `rows` pair

@@ -118,6 +118,13 @@ def connected_components(
         # checkpoint, so each iteration costs ONE job instead of two
         # (halves the per-iteration driver-barrier latency that dominated
         # the cc 2->8 scaling cell; verified to fire on localCheckpoint).
+        # Spark 4.1 quirk: the first observe() initializes the session's
+        # lazy ObservationManager (not serializable); MLlib TRAINING
+        # SUMMARIES capture the SparkSession, so a summary-carrying model's
+        # .transform() afterwards throws "Task not serializable" — use
+        # model.copy() (drops the summary) if mixing the two. This engine's
+        # scoring never serializes models (plan-literal folds), so only
+        # external mllib .transform callers are affected.
         obs = Observation(f"cc_fp_{i}")
         e = (
             _small_star(_large_star(e))

@@ -100,7 +100,16 @@ def test_rf_matcher_fold_equals_mllib_probability(spark):
     m = RandomForestClassifier(
         featuresCol="_fv", labelCol="label", numTrees=10, maxDepth=4, seed=42
     ).fit(assembled)
-    ref = [float(r["probability"][1]) for r in m.transform(assembled).collect()]
+    # .copy() drops the training summary. The summary captures the
+    # SparkSession, and once ANY Dataset.observe() has run in the session
+    # (connected_components does — see operators/cluster.py) the session's
+    # lazily-initialized ObservationManager is non-null and not
+    # serializable, so transform() of a summary-carrying model throws
+    # "Task not serializable". Spark 4.1 quirk; GBT models carry no
+    # summary, which is why only this RF reference path needs the copy.
+    ref = [
+        float(r["probability"][1]) for r in m.copy().transform(assembled).collect()
+    ]
     got = [r["score"] for r in M.score_pairs(df, tm).collect()]
     assert got == pytest.approx(ref, abs=1e-9)
 

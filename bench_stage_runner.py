@@ -93,6 +93,13 @@ def main() -> int:
         "— the A/B for the BENCH_r04 er_tfidf_vectors regression question",
     )
     ap.add_argument(
+        "--no-local-finish",
+        action="store_true",
+        help="cc stage: disable the single-task Shiloach-Vishkin finisher "
+        "(local_finish_rows=0) — pure distributed LS/SS alternation, the "
+        "round-5 A/B baseline",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run the stage once untimed first: Catalyst planning + codegen "
@@ -245,8 +252,14 @@ def main() -> int:
             tau = float(json.load(f)["threshold"])
         n_pairs = None
 
+        lf = 0 if args.no_local_finish else 4_000_000
+
         def fn():
-            _noop(C.connected_components(M.match_edges(scored, tau)))
+            _noop(
+                C.connected_components(
+                    M.match_edges(scored, tau), local_finish_rows=lf
+                )
+            )
 
     if args.warmup:
         fn()

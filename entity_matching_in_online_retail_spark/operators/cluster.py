@@ -95,22 +95,99 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int, int, int, int]:
             int(row["lo"]), int(row["hi"]))
 
 
+def _local_finish(edges: DataFrame) -> DataFrame:
+    """Single-task finisher for a sub-task-sized edge frontier.
+
+    Kiveris et al. (SoCC 2014, §"optimizations") note that once the
+    surviving graph fits on one machine, the remaining O(log diameter)
+    alternation rounds are pure scheduling/barrier overhead and the run
+    should complete locally. ER match graphs hit this fast: cliques of
+    duplicate offers collapse ~14x in the FIRST round (measured at the
+    997k-record bench corpus: 12.31M -> 865k edges), after which five
+    more ~3s rounds did nothing but grind the hot-component tail through
+    driver barriers. This finisher replaces that tail with ONE narrow
+    job: coalesce(1) -> Arrow-batched mapInPandas running a fully
+    vectorized Shiloach-Vishkin (scatter-min hooking + pointer jumping,
+    numpy only — no per-row Python), emitting the same converged
+    star-forest shape (member -> component-min) the loop would reach.
+
+    Scale honesty: at 10^12-doc scale the post-round-1 frontier is ~the
+    non-root node count and never fits one task, so the threshold never
+    triggers and the dataflow is the unmodified distributed alternation;
+    the finisher only short-circuits frontiers below `local_finish_rows`
+    (~16 B/edge -> default 4M edges ~= 64 MB in one task, the same
+    ballpark as one shuffle partition's working set).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fin(batches):
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(dtype=np.int64))
+            vs.append(b["v"].to_numpy(dtype=np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = idx[: len(u)], idx[len(u):]
+        parent = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            pu, pv = parent[ui], parent[vi]
+            hooked = pu != pv
+            if not hooked.any():
+                break
+            # hook: scatter-min the smaller root into the larger root's slot
+            np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
+            # pointer-jump to a full root map (np.unique sorts, so local
+            # index order == node-id order and the fixpoint root is the
+            # component MIN — the cluster_id contract)
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+        member = parent != np.arange(len(nodes), dtype=np.int64)
+        yield pd.DataFrame(
+            {"u": nodes[member], "v": nodes[parent[member]]}
+        )
+
+    return edges.coalesce(1).mapInPandas(fin, schema="u long, v long")
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame, max_iterations: int = 50,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """edges(id_l, id_r) -> (record_id, cluster_id = component min).
 
     Nodes appearing in no surviving edge are absent; callers keep singletons
     with `assign_clusters`.
+
+    local_finish_rows: once the surviving frontier has <= this many edges
+    (known for free from the observed fingerprint of the same checkpoint
+    action), the remaining alternation tail completes in one single-task
+    vectorized pass (`_local_finish`) instead of O(log diameter) more
+    barrier rounds. 0 disables (pure distributed alternation — the path
+    the LS/SS unit/property tests pin).
     """
+    obs0 = Observation("cc_fp_init")
     e = (
         edges.select(F.col("id_l").alias("u"), F.col("id_r").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_edges = int(obs0.get["n"])
     prev = None
     for i in range(max_iterations):
+        if n_edges == 0:
+            break
+        if 0 < local_finish_rows and n_edges <= local_finish_rows:
+            e = _local_finish(e).localCheckpoint(eager=True)
+            break
         # one lineage truncation per LS+SS round (the LS intermediate is
         # consumed exactly once — checkpointing it would only add a barrier).
         # Round 5: the convergence fingerprint rides the SAME action via
@@ -133,6 +210,7 @@ def connected_components(
         )
         m = obs.get
         fp = (int(m["n"]), int(m["h1"]), int(m["h2"]), int(m["lo"]), int(m["hi"]))
+        n_edges = fp[0]
         if fp == prev:
             break
         prev = fp

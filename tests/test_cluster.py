@@ -8,34 +8,55 @@ from pyspark.sql import functions as F
 from entity_matching_in_online_retail_spark.operators import cluster as C
 
 
-def _spark_components(spark, edges):
+def _spark_components(spark, edges, local_finish_rows=4_000_000):
     df = spark.createDataFrame(edges or [(0, 0)], "id_l long, id_r long")
     if not edges:
         df = df.limit(0)
-    got = C.connected_components(df)
+    got = C.connected_components(df, local_finish_rows=local_finish_rows)
     return {r["record_id"]: r["cluster_id"] for r in got.collect()}
 
 
+# local_finish_rows=0 pins the pure distributed large-star/small-star
+# alternation; the default exercises the single-task Shiloach-Vishkin
+# finisher (which at test scale triggers before any LS/SS round). Both
+# must agree exactly with the union-find oracle.
+@pytest.mark.parametrize("finish_rows", [0, 4_000_000])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 20), (2, 100, 80), (3, 200, 300), (4, 50, 5)])
-def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges, finish_rows):
     rng = np.random.default_rng(seed)
     edges = [
         (int(a), int(b))
         for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
         if a != b
     ]
-    got = _spark_components(spark, edges)
+    got = _spark_components(spark, edges, local_finish_rows=finish_rows)
     want = C.union_find_oracle(edges)
     # oracle roots are component minima because union always keeps the min
     assert got == want
 
 
-def test_cc_chain_and_star(spark):
+def test_cc_local_finish_midloop_handoff(spark):
+    """Force the realistic hybrid schedule: the initial frontier exceeds the
+    threshold (so at least one distributed LS/SS round runs), the collapsed
+    frontier dips below it while a high-diameter remnant is NOT yet
+    converged, and the finisher must complete that remnant correctly."""
+    clique = [(i, j) for i in range(40) for j in range(i + 1, 40)]  # 780 edges
+    chain = [(1000 + i, 1001 + i) for i in range(40)]  # diameter-40 tail
+    edges = clique + chain
+    hybrid = _spark_components(spark, edges, local_finish_rows=100)
+    pure = _spark_components(spark, edges, local_finish_rows=0)
+    want = C.union_find_oracle(edges)
+    assert hybrid == want
+    assert pure == want
+
+
+@pytest.mark.parametrize("finish_rows", [0, 4_000_000])
+def test_cc_chain_and_star(spark, finish_rows):
     chain = [(i, i + 1) for i in range(20)]  # worst-case diameter
-    got = _spark_components(spark, chain)
+    got = _spark_components(spark, chain, local_finish_rows=finish_rows)
     assert set(got.values()) == {0}
     star = [(0, i) for i in range(1, 15)]
-    got = _spark_components(spark, star)
+    got = _spark_components(spark, star, local_finish_rows=finish_rows)
     assert set(got.values()) == {0}
 
 

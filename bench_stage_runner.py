@@ -35,7 +35,7 @@ def main() -> int:
         "--stage",
         choices=[
             "block", "score", "cc", "dedupe2", "dedupe1", "ingest", "tfidf",
-            "minhash",
+            "minhash", "neardup_groups", "train",
         ],
         required=True,
         help="dedupe2/dedupe1: synthetic dropDuplicates exchange carrying "
@@ -91,6 +91,15 @@ def main() -> int:
         action="store_true",
         help="tfidf stage: skip the round-4 idf artifact persist+read-back "
         "— the A/B for the BENCH_r04 er_tfidf_vectors regression question",
+    )
+    ap.add_argument(
+        "--train-partitions",
+        type=int,
+        default=0,
+        help="train stage: coalesce the labeled feature checkpoint to this "
+        "many partitions before the L-BFGS fit (0 = leave the natural "
+        "partitioning) — each optimizer iteration is one treeAggregate "
+        "job over these partitions",
     )
     ap.add_argument(
         "--no-local-finish",
@@ -222,6 +231,70 @@ def main() -> int:
             ).observe(obs, F.count(F.lit(1)).alias("n_verified"))
             _noop(out)
             n_pairs = int(obs.get["n_verified"])
+
+    elif args.stage == "neardup_groups":
+        # Full LLM-dedup grouping surface at ER-corpus scale: minhash
+        # candidate pairs -> CC (with the round-5 local finisher at its
+        # default) -> canonical keep per group. Group count observed on the
+        # same action.
+        from pyspark.sql import Observation
+
+        from entity_matching_in_online_retail_spark.operators import dedup as DD
+
+        offers = spark.read.parquet(os.path.join(wd, "offers"))
+        n_pairs = None
+
+        def fn():
+            nonlocal n_pairs
+            obs = Observation()
+            out = DD.near_dup_groups(
+                offers, id_col="record_id", text_col="norm_text", threshold=0.8
+            ).observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_groups"),
+            )
+            _noop(out)
+            got = obs.get
+            n_pairs = int(got["n_docs"])
+            print(
+                json.dumps({"n_docs": int(got["n_docs"]), "n_groups": int(got["n_groups"])}),
+                file=sys.stderr,
+            )
+
+    elif args.stage == "train":
+        # Replica of ERPipeline.train_or_load minus the model-cache check:
+        # labeled pair features -> localCheckpoint -> LR fit -> threshold
+        # sweep. The A/B knob is --train-partitions: the per-iteration
+        # L-BFGS treeAggregate schedules one task per checkpoint partition,
+        # so a small labeled set spread over 2*cores partitions pays ~100
+        # iterations of pure scheduling overhead.
+        from entity_matching_in_online_retail_spark.plans import evaluate as EV
+
+        attrs = spark.read.parquet(os.path.join(wd, "attrs"))
+        offers = spark.read.parquet(os.path.join(wd, "offers"))
+        labeled = spark.read.parquet(os.path.join(args.corpus, "labeled_pairs"))
+        n_pairs = None
+
+        def fn():
+            nonlocal n_pairs
+            labeled_ids = EV.labeled_pairs_to_ids(labeled, offers)
+            labeled_ids = labeled_ids.localCheckpoint(eager=True)
+            feats = FE.pair_features(
+                labeled_ids.select("id_l", "id_r"), attrs
+            ).join(labeled_ids, ["id_l", "id_r"])
+            feats = feats.localCheckpoint(eager=True)
+            if args.train_partitions:
+                # AFTER the checkpoint: a narrow merge of checkpoint blocks,
+                # so the feature compute above keeps full parallelism while
+                # every optimizer iteration schedules only this many tasks.
+                feats = feats.coalesce(args.train_partitions)
+            train, val = M.split_train_val(feats)
+            matcher = M.train_matcher(train, cfg.scoring.feature_cols)
+            val_scored = M.score_pairs(val, matcher).select("score", "label")
+            tau, _ = M.best_threshold(val_scored)
+            n_pairs = feats.count()
+            print(json.dumps({"tau": tau}), file=sys.stderr)
 
     elif args.stage in ("dedupe2", "dedupe1"):
         # Synthetic replica of the blocking dedupe exchange: `rows` pair

@@ -1102,6 +1102,120 @@ def q_incremental_er(spark, d):
     ).crossJoin(inc.merges.agg(F.count(F.lit(1)).alias("n_merges")))
 
 
+def q_dup_ngram_fraction(spark, d):
+    # Gopher-rule repetition signal (Rae et al. 2021 §A1.1): fraction of
+    # bigram occurrences that repeat an earlier bigram in the same document.
+    # Pure Catalyst expression — no shuffle, linear in document length.
+    docs = _t(spark, d, "documents")
+    toks = TX.tokens_seq(TX.normalize_text(F.col("text"), with_nfkc=False))
+    return docs.select(
+        "doc_id", F.round(TS.dup_ngram_fraction(toks, 2), 6).alias("dup_frac")
+    )
+
+
+def q_top_bigram_fraction(spark, d):
+    # Gopher top-n-gram filter signal as the SCALABLE dataflow (explode +
+    # two keyed aggs, linear per doc) — see operators/quality.py for why the
+    # expression-only alternative is quadratic in document length.
+    from entity_matching_in_online_retail_spark.operators import quality as Q
+
+    return Q.top_ngram_fraction(_t(spark, d, "documents"), n=2)
+
+
+def q_decontaminate(spark, d):
+    # Benchmark decontamination: docs sharing >=1 token 3-gram with the
+    # "eval set" (every 97th doc, deterministically). The benchmark gram set
+    # is broadcast; the corpus never shuffles on the gram key. n=3 (not the
+    # production 8-13) because the synthetic word-soup fixture needs
+    # collisions to exercise the join; n is a parameter.
+    from entity_matching_in_online_retail_spark.operators import quality as Q
+
+    docs = _t(spark, d, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return Q.decontaminate(corpus, bench, n=3)
+
+
+def q_pii_redact(spark, d):
+    # PII scrub: the synthetic corpus carries no PII, so plant a
+    # deterministic email+phone on every 3rd doc (mirrored in the oracle),
+    # then count and redact. md5 of the redacted text pins byte-identity.
+    docs = _t(spark, d, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid,
+            F.lit("@example.com or +1 555 000 "), sid,
+        ),
+    ).otherwise(F.col("text"))
+    red = TS.pii_redact(planted)
+    return docs.select(
+        "doc_id",
+        TS.pii_email_count(planted).cast("long").alias("n_emails"),
+        TS.pii_phone_count(planted).cast("long").alias("n_phones"),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+def q_stratified_sample(spark, d):
+    # Deterministic per-stratum downsampling via the LCG hash-threshold
+    # (replay-stable under task retries, unlike rand(); cross-engine
+    # reproducible, unlike xxhash64 which DuckDB lacks). Per-lang permille
+    # rates; output is per-stratum kept/total so the driver canonicalizer
+    # sees a small stable frame.
+    rates = {"en": 200, "de": 500, "es": 500, "fr": 500, "zh": 800}
+    permille = F.lit(1000)
+    for lang, p in rates.items():
+        permille = F.when(F.col("lang") == lang, F.lit(p)).otherwise(permille)
+    kept = TS.lcg_bucket(F.col("doc_id"), 1000) < permille
+    return (
+        _t(spark, d, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def q_corr_stats(spark, d):
+    # Bivariate aggregate family (corr / covar_samp / stddev_samp) — the
+    # G-agg coverage for drift monitoring over numeric feature columns.
+    return (
+        _t(spark, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        )
+    )
+
+
+def q_date_spine_fill(spark, d):
+    # Calendar gap-fill: date spine over the observed order-date range,
+    # left-joined to daily counts with zero fill (time-series completeness —
+    # a 1094-of-2405-days fixture, so the fill is exercised). The spine is
+    # built from a 1-row agg + sequence/explode: ~2.4k rows regardless of
+    # table size, so the broadcast side is O(days), never O(rows).
+    orders = _t(spark, d, "orders")
+    rng = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness-checks the FIRST 50 entries
     # (observed cap in CORRECTNESS_r01..r04), but 62 oracle-backed queries
@@ -1206,6 +1320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "mini_er": q_mini_er,
         "incremental_er": q_incremental_er,
+        # Round-5 additions (LLM-pipeline quality surface): enter at 51+
+        # per the rotation policy, oracle-backed from day one via the
+        # pytest sweep; rotate into the driver window next round.
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "top_bigram_fraction": q_top_bigram_fraction,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "corr_stats": q_corr_stats,
+        "date_spine_fill": q_date_spine_fill,
     }
 
 
@@ -1598,5 +1722,77 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, round(CASE WHEN tot = 0 THEN 0.0 "
             "ELSE 2.0 * sum(rn * n) / (cnt * tot) - (cnt + 1.0) / cnt END, 6) AS gini_tokens "
             "FROM r GROUP BY lang, cnt, tot"
+        ),
+        # ---- Round-5 LLM-pipeline quality surface ----
+        # Shared incantation: _DUCK_TOKS mirrors normalize_text(with_nfkc=
+        # False) + tokens_seq (ordered, duplicate-preserving).
+        "dup_ngram_fraction": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split("
+            "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), "
+            "x -> len(x) > 0) AS toks FROM documents), "
+            "g AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] "
+            "for i in generate_series(1, len(toks) - 1)] AS grams FROM t) "
+            "SELECT doc_id, round(CASE WHEN len(grams) > 0 "
+            "THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) "
+            "ELSE 0.0 END, 6) AS dup_frac FROM g"
+        ),
+        "top_bigram_fraction": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split("
+            "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), "
+            "x -> len(x) > 0) AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] "
+            "for i in generate_series(1, len(toks) - 1)]) AS gram FROM t), "
+            "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), "
+            "f AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_frac "
+            "FROM c GROUP BY 1) "
+            "SELECT d.doc_id, round(coalesce(f.top_frac, 0.0), 6) AS top_frac "
+            "FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"
+        ),
+        "decontaminate": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split("
+            "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), "
+            "x -> len(x) > 0) AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+            "for i in generate_series(1, len(toks) - 2)]) AS gram FROM t), "
+            "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) "
+            "SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared "
+            "FROM g JOIN b USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1"
+        ),
+        "pii_redact": (
+            "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN text || ' contact user' || doc_id || '@example.com or +1 555 000 ' || doc_id "
+            "ELSE text END AS planted FROM documents), "
+            "r AS (SELECT doc_id, planted, regexp_replace(regexp_replace(planted, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\+[0-9][0-9 ]{5,}[0-9]', '<PHONE>', 'g') AS red FROM p) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(planted, '\\+[0-9][0-9 ]{5,}[0-9]')) AS BIGINT) AS n_phones, "
+            "CAST(length(red) AS BIGINT) AS red_len, md5(red) AS red_md5 FROM r"
+        ),
+        "stratified_sample": (
+            "SELECT lang, count(*) AS n_total, "
+            "CAST(sum(CASE WHEN ((doc_id * 1103515245 + 12345) % 1000) < "
+            "(CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 500 "
+            "WHEN 'fr' THEN 500 WHEN 'zh' THEN 800 ELSE 1000 END) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
+            "FROM documents GROUP BY lang"
+        ),
+        "corr_stats": (
+            "SELECT l_returnflag, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+            "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp, "
+            "round(stddev_samp(l_discount), 6) AS sd_disc "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "date_spine_fill": (
+            "WITH r AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, "
+            "CAST(max(o_orderdate) AS DATE) AS hi FROM orders), "
+            "s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM r), "
+            "dly AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n "
+            "FROM orders GROUP BY 1) "
+            "SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS day, "
+            "CAST(coalesce(dly.n, 0) AS BIGINT) AS n_orders "
+            "FROM s LEFT JOIN dly ON CAST(s.day AS DATE) = dly.day"
         ),
     }

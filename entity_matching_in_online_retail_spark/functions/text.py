@@ -46,6 +46,15 @@ def tokens(norm_col: Column) -> Column:
     )
 
 
+def tokens_seq(norm_col: Column) -> Column:
+    """ORDERED, duplicate-preserving tokens of an already-normalized string.
+
+    `tokens()` deduplicates (set semantics for Jaccard/blocking); repetition
+    signals (dup-n-gram fraction, top-n-gram fraction) need the sequence.
+    """
+    return F.filter(F.split(norm_col, " "), lambda t: F.length(t) > 0)
+
+
 # --------------------------------------------------------------------------
 # Domain key (F6): registrable-domain approximation from the url.
 # No public-suffix list is available offline; we strip a leading "www." and

@@ -108,3 +108,92 @@ def doc_fingerprint(tokens_col: Column, w: int = 8) -> Column:
     sketches / fast near-dup prefilter)."""
     hashes = F.sort_array(F.transform(tokens_col, lambda t: F.xxhash64(t)))
     return F.slice(hashes, 1, w)
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-rule analogues, Rae et al. 2021 §A1.1): the
+# published filters drop documents whose duplicate-n-gram / top-n-gram
+# fractions exceed thresholds. All pure Catalyst expressions (codegen) —
+# per-document work, no shuffle, so they scale linearly with the scan.
+# --------------------------------------------------------------------------
+
+
+def token_ngrams(tokens_col: Column, n: int) -> Column:
+    """Ordered token n-grams as space-joined strings (expression-only).
+
+    Guarded for size < n: Spark's `sequence(1, 0)` DESCENDS rather than
+    returning empty, so short documents must short-circuit to [].
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return tokens_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens_col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_fraction(tokens_col: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier n-gram
+    in the same document: 1 - distinct/total. 0.0 for docs shorter than n."""
+    grams = token_ngrams(tokens_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, (total - distinct).cast("double") / total
+    ).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# PII redaction: regex-based email/phone scrubbing, the standard pre-training
+# hygiene pass. RE2-compatible patterns (no backtracking) so the same
+# pattern runs verbatim in Spark (Java regex) and the DuckDB oracle.
+# Phones are matched only in +<digits> international form to avoid
+# false-positiving on numeric tokens in prose.
+# --------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 ]{5,}[0-9]"
+
+
+def pii_email_count(text_col: Column) -> Column:
+    return F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
+
+
+def pii_phone_count(text_col: Column) -> Column:
+    return F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0))
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Replace every email with <EMAIL> and every phone with <PHONE>."""
+    c = F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling: hash-threshold keep decision. rand()-based
+# sampling is irreproducible across retries/stragglers (a re-run task
+# re-draws), which corrupts exactly-once pipelines; a pure function of the
+# record id is replay-stable, cross-engine reproducible (the LCG below is
+# plain 64-bit integer arithmetic, identical in Spark and DuckDB/ANSI SQL),
+# and needs no shuffle. Constants are glibc's LCG.
+# --------------------------------------------------------------------------
+
+
+def lcg_bucket(id_col: Column, buckets: int = 1000) -> Column:
+    """LCG hash of an integer id into [0, buckets). Safe for ids < ~8.4e9
+    (id * 1103515245 + 12345 stays under 2^63 — no overflow)."""
+    return F.pmod(
+        id_col.cast("long") * F.lit(1103515245) + F.lit(12345), F.lit(buckets)
+    )
+
+
+def deterministic_keep(id_col: Column, permille: int) -> Column:
+    """True for ~permille/1000 of ids, decided by the LCG hash of the id."""
+    return lcg_bucket(id_col, 1000) < F.lit(permille)

@@ -1,0 +1,77 @@
+"""Corpus-quality dataflows for training-data pipelines: top-n-gram
+repetition fraction (Gopher-rule analogue) and benchmark decontamination
+(n-gram overlap against an eval set).
+
+Shapes chosen for 10^12-doc scale:
+
+- `top_ngram_fraction` is explode -> two keyed aggregations. The per-doc
+  alternative (array_distinct + per-gram filter inside one expression) is
+  O(distinct x total) PER DOCUMENT — quadratic in document length, which a
+  100 TB corpus with book-length outliers cannot afford. The explode shape
+  is linear, partial-aggregates map-side, and both shuffles key on doc_id
+  (+gram), which is near-uniform — no skew handling needed.
+- `decontaminate` keys on the n-gram: the benchmark side is tiny (an eval
+  set, thousands of docs) so its distinct n-gram set is broadcast; the
+  corpus side streams map-side through the broadcast join — ONE shuffle
+  total (the final per-doc count), zero for the flag-only variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_matching_in_online_retail_spark.functions import text as TX
+from entity_matching_in_online_retail_spark.functions import textstats as TS
+
+
+def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    norm = TX.normalize_text(F.col(text_col), with_nfkc=False)
+    grams = TS.token_ngrams(TX.tokens_seq(norm), n)
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def top_ngram_fraction(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document fraction of n-gram occurrences taken by the single most
+    frequent n-gram (Gopher top-n-gram filter signal).
+
+    Returns (id_col, top_frac double). Documents with fewer than n tokens
+    get top_frac = 0.0 (no n-grams — nothing to repeat).
+    """
+    per_gram = (
+        _doc_grams(docs, id_col, text_col, n)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    frac = per_gram.groupBy(id_col).agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_frac")
+    )
+    # Left join back so gram-less (short) documents still appear with 0.0.
+    return docs.select(id_col).join(frac, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.round("top_frac", 6), F.lit(0.0)).alias("top_frac")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: documents sharing at least one token
+    n-gram with the benchmark set, with the count of distinct shared grams.
+
+    Returns (id_col, n_shared bigint) for contaminated documents only.
+    The benchmark's distinct n-gram set is broadcast (eval sets are small
+    by construction); the corpus never shuffles on the gram key.
+    """
+    bench_grams = _doc_grams(benchmark, id_col, text_col, n).select("gram").distinct()
+    hits = _doc_grams(docs, id_col, text_col, n).join(
+        F.broadcast(bench_grams), "gram", "inner"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_shared")
+    )

@@ -1216,6 +1216,53 @@ def q_date_spine_fill(spark, d):
     )
 
 
+def q_curation_funnel(spark, d):
+    # Composed RefinedWeb/Gopher-style curation funnel (plans/curate.py):
+    # lang -> quality -> repetition -> decontamination -> exact-dedup ->
+    # deterministic sampling, every doc attributed to the FIRST stage that
+    # rejects it, report = ONE groupBy over the label frame. Benchmark =
+    # every 97th doc (as q_decontaminate); exact dups are planted
+    # deterministically (every 53rd corpus doc takes its successor's text —
+    # the synthetic corpus has no natural byte dups) and mirrored in the
+    # oracle, like q_pii_redact's planting. Near-dup stage disabled here:
+    # MinHash is the one non-SQL-expressible stage (see the rows-only
+    # curation_funnel_neardup variant).
+    from entity_matching_in_online_retail_spark.plans import curate as CUR
+
+    docs = _t(spark, d, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_nxt")
+    )
+    planted = (
+        docs.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+        .join(nxt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.pmod(F.col("doc_id"), F.lit(53)) == 0) & F.col("_nxt").isNotNull(),
+                F.col("_nxt"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    labels = CUR.funnel_labels(planted, bench, CUR.CurateConfig())
+    return CUR.funnel_metrics(labels)
+
+
+def q_curation_funnel_neardup(spark, d):
+    # Same funnel with the MinHash-LSH near-dup stage ON (threshold 0.8)
+    # over the full documents table — rows-only by contract (LSH bucket
+    # hashes are xxhash64, which DuckDB lacks); stage semantics are pinned
+    # by tests/test_curate.py and the oracle-backed variant above.
+    from entity_matching_in_online_retail_spark.plans import curate as CUR
+
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    cfg = CUR.with_near_dup(CUR.CurateConfig(), 0.8)
+    return CUR.funnel_metrics(CUR.funnel_labels(docs, None, cfg))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness-checks the FIRST 50 entries
     # (observed cap in CORRECTNESS_r01..r04), but 62 oracle-backed queries
@@ -1330,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corr_stats": q_corr_stats,
         "date_spine_fill": q_date_spine_fill,
+        "curation_funnel": q_curation_funnel,
+        "curation_funnel_neardup": q_curation_funnel_neardup,
     }
 
 
@@ -1794,5 +1843,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS day, "
             "CAST(coalesce(dly.n, 0) AS BIGINT) AS n_orders "
             "FROM s LEFT JOIN dly ON CAST(s.day AS DATE) = dly.day"
+        ),
+        # Composed funnel: reuses the exact token/gram/score incantations of
+        # the proven single-signal oracles (lang_id, quality_score,
+        # dup_ngram_fraction, top_bigram_fraction, decontaminate,
+        # stratified_sample) chained with the same first-reject attribution
+        # as plans/curate.py. Near-dup stage off (non-SQL-expressible).
+        "curation_funnel": (
+            "WITH nxt AS (SELECT doc_id - 1 AS doc_id, text AS nxt_text FROM documents), "
+            "raw AS (SELECT a.doc_id, CASE WHEN a.doc_id % 53 = 0 AND n.nxt_text IS NOT NULL "
+            "THEN n.nxt_text ELSE a.text END AS text "
+            "FROM documents a LEFT JOIN nxt n USING (doc_id) WHERE a.doc_id % 97 <> 0), "
+            "bt AS (SELECT list_filter(string_split("
+            "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), "
+            "x -> len(x) > 0) AS toks FROM documents WHERE doc_id % 97 = 0), "
+            "bg AS (SELECT DISTINCT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+            "for i in generate_series(1, len(toks) - 2)]) AS gram FROM bt), "
+            "ct AS (SELECT doc_id, text, "
+            "list_distinct(string_split(lower(text), ' ')) AS ltoks, "
+            "list_filter(string_split("
+            "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), "
+            "x -> len(x) > 0) AS stoks FROM raw), "
+            "sig AS (SELECT doc_id, text, stoks, list_distinct(stoks) AS qtoks, "
+            "[stoks[i] || ' ' || stoks[i+1] for i in generate_series(1, len(stoks) - 1)] AS bigrams, "
+            "[stoks[i] || ' ' || stoks[i+1] || ' ' || stoks[i+2] "
+            "for i in generate_series(1, len(stoks) - 2)] AS trigrams, "
+            "len(list_intersect(ltoks, ['the','and','of','to','in','is','that','for','with','was'])) AS s_en, "
+            "len(list_intersect(ltoks, ['der','die','das','und','ist','nicht','von','mit','ein','zu'])) AS s_de, "
+            "len(list_intersect(ltoks, ['le','la','les','et','est','des','une','dans','que','pour'])) AS s_fr, "
+            "len(list_intersect(ltoks, ['el','la','los','de','que','y','en','un','por','con'])) AS s_es "
+            "FROM ct), "
+            "cg AS (SELECT doc_id, unnest(bigrams) AS gram FROM sig), "
+            "topf AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_frac "
+            "FROM (SELECT doc_id, gram, count(*) AS cnt FROM cg GROUP BY 1, 2) GROUP BY 1), "
+            "c3 AS (SELECT doc_id, unnest(trigrams) AS gram FROM sig), "
+            "cont AS (SELECT DISTINCT c3.doc_id FROM c3 JOIN bg USING (gram)), "
+            "met AS (SELECT doc_id, text, bigrams, "
+            "CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+            "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' "
+            "WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de' "
+            "WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr' ELSE 'es' END AS lang_guess, "
+            "CASE WHEN len(qtoks) > 0 THEN CAST(list_sum(list_transform(qtoks, tk -> length(tk))) AS DOUBLE) / len(qtoks) ELSE 0.0 END AS wl, "
+            "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha, "
+            "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct "
+            "FROM sig), "
+            "lab0 AS (SELECT m.doc_id, m.text, "
+            "CASE WHEN m.lang_guess <> 'en' THEN 'lang' "
+            "WHEN round(0.35 * m.alpha + 0.25 * (1.0 - least(m.punct * 4.0, 1.0)) "
+            "+ 0.2 * least(CAST(length(m.text) AS DOUBLE) / 200.0, 1.0) "
+            "+ 0.2 * (CASE WHEN m.wl >= 3.0 AND m.wl <= 10.0 THEN 1.0 ELSE 0.5 END), 6) < 0.85 THEN 'quality' "
+            "WHEN round(CASE WHEN len(m.bigrams) > 0 "
+            "THEN CAST(len(m.bigrams) - len(list_distinct(m.bigrams)) AS DOUBLE) / len(m.bigrams) "
+            "ELSE 0.0 END, 6) > 0.08 "
+            "OR round(coalesce(t.top_frac, 0.0), 6) > 0.09 THEN 'repetition' "
+            "WHEN c.doc_id IS NOT NULL THEN 'contaminated' END AS ds0 "
+            "FROM met m LEFT JOIN topf t USING (doc_id) LEFT JOIN cont c USING (doc_id)), "
+            "lab1 AS (SELECT doc_id, coalesce(ds0, CASE WHEN doc_id <> "
+            "min(CASE WHEN ds0 IS NULL THEN doc_id END) OVER (PARTITION BY md5(text)) "
+            "THEN 'exact_dup' END) AS ds1 FROM lab0), "
+            "fin AS (SELECT doc_id, coalesce(ds1, CASE WHEN "
+            "((doc_id * 1103515245 + 12345) % 1000) >= 700 THEN 'sampled_out' END) AS ds FROM lab1) "
+            "SELECT coalesce(ds, 'kept') AS stage, count(*) AS n_docs, "
+            "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM fin GROUP BY 1"
         ),
     }

@@ -1,0 +1,213 @@
+"""Composed corpus-curation funnel — the RefinedWeb/Gopher-style chain a
+training-data pipeline runs end-to-end, built from this repo's quality
+primitives, with per-document drop attribution instead of destructive
+per-stage filtering.
+
+Every document is labeled with the FIRST stage that rejects it
+(`drop_stage`), or NULL if it reaches the final corpus:
+
+    lang -> quality -> repetition -> contaminated -> exact_dup
+        [-> near_dup] -> sampled_out
+
+Why labels, not chained filters: the per-stage retention report (the thing
+a curation run is audited by) falls out of ONE groupBy over the label frame
+— no per-stage count() actions, no re-scans; and the survivor set is the
+same frame filtered, so metrics and output share a single lineage.
+
+Dataflow shape (100 TB notes):
+- Row-local signals (lang score, quality, dup-n-gram fraction) are one
+  codegen projection riding the scan — no shuffle, no Python.
+- Top-n-gram fraction uses the explode + two-keyed-aggs operator
+  (operators/quality.py — linear per doc; the expression-only alternative
+  is quadratic in document length) joined back on doc_id.
+- Contamination explodes corpus grams against a BROADCAST benchmark gram
+  set (eval sets are small by construction); the corpus never shuffles on
+  the gram key — one doc_id-keyed agg for the hit flags.
+- Exact dedup never splits the frame: the keeper of an md5(text) group is
+  min(doc_id) among docs still unlabeled at that point, computed with ONE
+  window — a doc dropped by an earlier stage can never claim the keeper
+  slot, and the group's survivors resolve deterministically.
+- Near-dup (optional, `near_dup_threshold`) runs MinHash-LSH + connected
+  components over the survivors only (operators/dedup.near_dup_groups);
+  it is the one non-SQL-expressible stage, so the oracle-backed funnel
+  variant runs with it disabled.
+- Sampling is the deterministic LCG keep (functions/textstats.lcg_bucket)
+  — replay-stable under task retries, cross-engine reproducible; rand()
+  is neither.
+
+Total cost: one scan + the top-gram agg + the contamination agg + one
+md5-keyed window exchange + (optional near-dup job). All keys (doc_id,
+gram, md5) are near-uniform — no skew handling needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import textstats as TS
+from ..operators import quality as Q
+
+# Funnel order IS the attribution order; funnel_metrics reports in it.
+STAGES = (
+    "lang",
+    "quality",
+    "repetition",
+    "contaminated",
+    "exact_dup",
+    "near_dup",
+    "sampled_out",
+)
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    """Thresholds frozen per run; the config participates in any lineage
+    hash upstream callers keep (changing a threshold is a new corpus)."""
+
+    allowed_langs: Sequence[str] = ("en",)
+    min_quality: float = 0.85
+    rep_n: int = 2
+    max_dup_frac: float = 0.08
+    max_top_frac: float = 0.09
+    decon_n: int = 3
+    min_shared: int = 1  # grams shared with the benchmark to count as hit
+    near_dup_threshold: Optional[float] = None  # None = stage disabled
+    sample_permille: int = 700
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def _labeled(
+    docs: DataFrame, benchmark: Optional[DataFrame], cfg: CurateConfig
+) -> DataFrame:
+    """docs + `drop_stage` (nullable string), all original columns kept.
+
+    Internal columns are underscore-prefixed and dropped before return.
+    """
+    id_c, txt = cfg.id_col, cfg.text_col
+    text = F.col(txt)
+    # Three token views, each mirroring the oracle-proven single-signal
+    # queries exactly: lang uses raw lowercase whitespace tokens, quality
+    # uses distinct normalized tokens, repetition uses the ordered
+    # duplicate-preserving sequence.
+    lang_toks = TX.tokens(F.lower(text))
+    qual_toks = TX.tokens(TX.normalize_text(text, with_nfkc=False))
+    seq_toks = TX.tokens_seq(TX.normalize_text(text, with_nfkc=False))
+
+    base = docs.withColumns(
+        {
+            "_lang": TS.lang_id(lang_toks),
+            "_q": TS.quality_score(text, qual_toks),  # rounded 6dp inside
+            "_dup": F.round(TS.dup_ngram_fraction(seq_toks, cfg.rep_n), 6),
+        }
+    )
+    top = Q.top_ngram_fraction(docs, n=cfg.rep_n, id_col=id_c, text_col=txt).select(
+        F.col(id_c), F.col("top_frac").alias("_top")
+    )
+    base = base.join(top, id_c)
+
+    if benchmark is not None:
+        hits = (
+            Q.decontaminate(docs, benchmark, n=cfg.decon_n, id_col=id_c, text_col=txt)
+            .where(F.col("n_shared") >= cfg.min_shared)
+            .select(F.col(id_c), F.lit(True).alias("_cont"))
+        )
+        base = base.join(hits, id_c, "left")
+    else:
+        base = base.withColumn("_cont", F.lit(None).cast("boolean"))
+
+    ds0 = (
+        F.when(~F.col("_lang").isin(*cfg.allowed_langs), F.lit("lang"))
+        .when(F.col("_q") < cfg.min_quality, F.lit("quality"))
+        .when(
+            (F.col("_dup") > cfg.max_dup_frac) | (F.col("_top") > cfg.max_top_frac),
+            F.lit("repetition"),
+        )
+        .when(F.col("_cont"), F.lit("contaminated"))
+    )
+    lab = base.withColumn("_ds0", ds0)
+
+    # Exact dedup: keeper = min surviving id per md5(text) group. One
+    # window, no frame split; dropped docs are excluded from the min so
+    # they never absorb a group's keeper slot.
+    keeper = F.min(F.when(F.col("_ds0").isNull(), F.col(id_c))).over(
+        Window.partitionBy(F.md5(text))
+    )
+    lab = lab.withColumn(
+        "_ds1",
+        F.coalesce(F.col("_ds0"), F.when(F.col(id_c) != keeper, F.lit("exact_dup"))),
+    )
+
+    if cfg.near_dup_threshold is not None:
+        from ..operators.dedup import near_dup_groups
+
+        surv = lab.where(F.col("_ds1").isNull()).select(id_c, txt)
+        nd = near_dup_groups(
+            surv, id_col=id_c, text_col=txt, threshold=cfg.near_dup_threshold
+        )
+        lab = lab.join(
+            nd.where(~F.col("keep")).select(F.col(id_c), F.lit("near_dup").alias("_nd")),
+            id_c,
+            "left",
+        ).withColumn("_ds1", F.coalesce("_ds1", "_nd"))
+
+    drop = F.coalesce(
+        F.col("_ds1"),
+        F.when(
+            ~TS.deterministic_keep(F.col(id_c), cfg.sample_permille),
+            F.lit("sampled_out"),
+        ),
+    )
+    keep_cols = [c for c in lab.columns if not c.startswith("_")]
+    return lab.select(*keep_cols, drop.alias("drop_stage"))
+
+
+def funnel_labels(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    cfg: CurateConfig = CurateConfig(),
+) -> DataFrame:
+    """(id_col, drop_stage nullable string): first rejecting stage per doc."""
+    return _labeled(docs, benchmark, cfg).select(cfg.id_col, "drop_stage")
+
+
+def funnel_metrics(labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(stage, n_docs, id_sum): the retention report, one aggregation.
+
+    id_sum makes the report a value-level fingerprint of the assignment
+    (two runs that merely swap which docs a stage dropped won't collide).
+    """
+    return labels.groupBy(
+        F.coalesce(F.col("drop_stage"), F.lit("kept")).alias("stage")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(id_col)).alias("id_sum"),
+    )
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    cfg: CurateConfig = CurateConfig(),
+) -> DataFrame:
+    """The surviving corpus, PII-redacted, original columns preserved.
+
+    Shares one lineage with funnel_labels — running both costs one funnel,
+    not two.
+    """
+    lab = _labeled(docs, benchmark, cfg)
+    out_cols = [
+        TS.pii_redact(F.col(c)).alias(c) if c == cfg.text_col else F.col(c)
+        for c in lab.columns
+        if c != "drop_stage"
+    ]
+    return lab.where(F.col("drop_stage").isNull()).select(*out_cols)
+
+
+def with_near_dup(cfg: CurateConfig, threshold: float = 0.8) -> CurateConfig:
+    return replace(cfg, near_dup_threshold=threshold)

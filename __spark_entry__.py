@@ -1904,6 +1904,6 @@ def oracle_sql() -> dict[str, str]:
             "fin AS (SELECT doc_id, coalesce(ds1, CASE WHEN "
             "((doc_id * 1103515245 + 12345) % 1000) >= 700 THEN 'sampled_out' END) AS ds FROM lab1) "
             "SELECT coalesce(ds, 'kept') AS stage, count(*) AS n_docs, "
-            "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM fin GROUP BY 1"
+            "CAST(sum(doc_id % 2147483647) AS BIGINT) AS id_ck FROM fin GROUP BY 1"
         ),
     }

@@ -35,7 +35,7 @@ def main() -> int:
         "--stage",
         choices=[
             "block", "score", "cc", "dedupe2", "dedupe1", "ingest", "tfidf",
-            "minhash", "neardup_groups", "train",
+            "minhash", "neardup_groups", "train", "curate",
         ],
         required=True,
         help="dedupe2/dedupe1: synthetic dropDuplicates exchange carrying "
@@ -100,6 +100,13 @@ def main() -> int:
         "many partitions before the L-BFGS fit (0 = leave the natural "
         "partitioning) — each optimizer iteration is one treeAggregate "
         "job over these partitions",
+    )
+    ap.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="curate stage: enable the MinHash near-dup stage inside the "
+        "funnel (its pieces carry their own sf1 memos; default measures "
+        "the SQL-expressible funnel shape)",
     )
     ap.add_argument(
         "--no-local-finish",
@@ -261,6 +268,37 @@ def main() -> int:
                 json.dumps({"n_docs": int(got["n_docs"]), "n_groups": int(got["n_groups"])}),
                 file=sys.stderr,
             )
+
+    elif args.stage == "curate":
+        # Composed corpus-curation funnel (plans/curate.py) at ER-corpus
+        # scale: one map-side signal projection (lang/quality/dup-fraction),
+        # the top-gram explode+agg, broadcast decontamination (benchmark =
+        # every 97th record), the md5-keyed keeper window, deterministic
+        # sampling, and the one-groupBy retention report as the action.
+        # min_quality relaxed to 0.5: product titles are short, and a
+        # threshold that drops most docs up front would let later stages
+        # idle — the point is every stage doing sf1-scale work.
+        from entity_matching_in_online_retail_spark.plans import curate as CUR
+
+        offers = spark.read.parquet(os.path.join(wd, "offers"))
+        docs = offers.select("record_id", "norm_text")
+        cur_bench = docs.where(F.pmod(F.col("record_id"), F.lit(97)) == 0)
+        cur_corpus = docs.where(F.pmod(F.col("record_id"), F.lit(97)) != 0)
+        cur_cfg = CUR.CurateConfig(
+            min_quality=0.5,
+            id_col="record_id",
+            text_col="norm_text",
+            near_dup_threshold=0.8 if args.near_dup else None,
+        )
+        n_pairs = None
+
+        def fn():
+            nonlocal n_pairs
+            labels = CUR.funnel_labels(cur_corpus, cur_bench, cur_cfg)
+            rows = CUR.funnel_metrics(labels, id_col="record_id").collect()
+            stages = {r["stage"]: r["n_docs"] for r in rows}
+            n_pairs = sum(stages.values())
+            print(json.dumps({"stages": stages}), file=sys.stderr)
 
     elif args.stage == "train":
         # Replica of ERPipeline.train_or_load minus the model-cache check:

@@ -26,9 +26,28 @@ from entity_matching_in_online_retail_spark.functions import textstats as TS
 
 
 def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) with gram = xxhash64 of the n adjacent tokens: identical
+    group/join/distinct behavior to string grams (tokens contain no
+    separator, so the mapping is injective up to 64-bit collisions) while
+    the exploded rows and every downstream shuffle carry an 8-byte long
+    instead of a concatenated string (measured 9.5s -> 4s on the 100k-doc
+    top-gram agg; at corpus scale the gram exchange is the stage's bytes).
+    """
     norm = TX.normalize_text(F.col(text_col), with_nfkc=False)
-    grams = TS.token_ngrams(TX.tokens_seq(norm), n)
-    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    # Tokens are projected as a REAL column first: the explode (Generate)
+    # below blocks CollapseProject, so the normalize+split tree evaluates
+    # once per document instead of once per element_at reference inside the
+    # gram transform (which is O(len^2) re-evaluation — measured 8.0s ->
+    # 1.5s on the 100k-doc top-gram agg).
+    with_toks = docs.select(F.col(id_col), TX.tokens_seq(norm).alias("_toks"))
+    toks = F.col("_toks")
+    n_grams = F.size(toks) - (n - 1)
+    hashed = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    grams = F.when(n_grams > 0, hashed).otherwise(F.array().cast("array<bigint>"))
+    return with_toks.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def top_ngram_fraction(

@@ -94,16 +94,23 @@ def _labeled(
     # Three token views, each mirroring the oracle-proven single-signal
     # queries exactly: lang uses raw lowercase whitespace tokens, quality
     # uses distinct normalized tokens, repetition uses the ordered
-    # duplicate-preserving sequence.
-    lang_toks = TX.tokens(F.lower(text))
-    qual_toks = TX.tokens(TX.normalize_text(text, with_nfkc=False))
-    seq_toks = TX.tokens_seq(TX.normalize_text(text, with_nfkc=False))
-
-    base = docs.withColumns(
+    # duplicate-preserving sequence. They are projected as REAL columns
+    # first so each tokenization tree evaluates once per document — inlined,
+    # the multi-reference signal expressions re-evaluate normalize+split
+    # per element_at/size reference (measured 2-3x on the whole funnel).
+    # CollapseProject leaves multi-use non-cheap aliases alone, so the
+    # boundary survives optimization.
+    base = docs.select(
+        "*",
+        TX.tokens(F.lower(text)).alias("_lt"),
+        TX.tokens(TX.normalize_text(text, with_nfkc=False)).alias("_qt"),
+        TX.tokens_seq(TX.normalize_text(text, with_nfkc=False)).alias("_st"),
+    )
+    base = base.withColumns(
         {
-            "_lang": TS.lang_id(lang_toks),
-            "_q": TS.quality_score(text, qual_toks),  # rounded 6dp inside
-            "_dup": F.round(TS.dup_ngram_fraction(seq_toks, cfg.rep_n), 6),
+            "_lang": TS.lang_id(F.col("_lt")),
+            "_q": TS.quality_score(text, F.col("_qt")),  # rounded 6dp inside
+            "_dup": F.round(TS.dup_ngram_fraction(F.col("_st"), cfg.rep_n), 6),
         }
     )
     top = Q.top_ngram_fraction(docs, n=cfg.rep_n, id_col=id_c, text_col=txt).select(
@@ -177,16 +184,20 @@ def funnel_labels(
 
 
 def funnel_metrics(labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(stage, n_docs, id_sum): the retention report, one aggregation.
+    """(stage, n_docs, id_ck): the retention report, one aggregation.
 
-    id_sum makes the report a value-level fingerprint of the assignment
-    (two runs that merely swap which docs a stage dropped won't collide).
+    id_ck is a value-level fingerprint of the assignment (two runs that
+    merely swap which docs a stage dropped won't collide). Ids are folded
+    through pmod(id, 2^31-1) before summing: raw 64-bit ids (e.g.
+    xxhash64-derived record ids) overflow a long sum under ANSI mode at
+    corpus scale, while the folded sum stays under 2^52 up to ~10^6 docs
+    per stage and remains cross-engine reproducible.
     """
     return labels.groupBy(
         F.coalesce(F.col("drop_stage"), F.lit("kept")).alias("stage")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col(id_col)).alias("id_sum"),
+        F.sum(F.pmod(F.col(id_col), F.lit(2147483647))).alias("id_ck"),
     )
 
 

@@ -119,8 +119,9 @@ def test_funnel_metrics_partitions_corpus(spark):
     docs = _docs(spark, rows)
     cfg = CUR.CurateConfig(sample_permille=700)
     labels = CUR.funnel_labels(docs, None, cfg)
-    met = {r["stage"]: (r["n_docs"], r["id_sum"]) for r in CUR.funnel_metrics(labels).collect()}
+    met = {r["stage"]: (r["n_docs"], r["id_ck"]) for r in CUR.funnel_metrics(labels).collect()}
     assert sum(n for n, _ in met.values()) == 20
+    # ids < 2^31, so the fold is the identity here
     assert sum(s for _, s in met.values()) == sum(range(20))
     assert "lang" in met and met["lang"][0] == 10  # the German half
 

@@ -1278,14 +1278,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi_agg, distinct_count, rollup, cube, collect_set, left_join,
     # semi_join, anti_join, sort_limit, date_trunc. The r4-new seven
     # (window_frame, intersect, from_json, token_count_bpe, jsonl_roundtrip,
-    # lang_id_iter, gini_by_lang) stay IN until twice-confirmed. The pytest
+    # lang_id_iter, gini_by_lang) stay IN until twice-confirmed. Late-round-5
+    # amendment: the new composed-funnel oracle (curation_funnel) takes the
+    # slot of filter_lang (green in r1-r4, four confirmations — the most-
+    # confirmed trivial row in the window). The pytest
     # oracle sweep (tests/test_entry_oracle.py) still differentially checks
     # every oracle_sql() entry at sf0.01 every run, so rotation never
     # leaves an oracle unchecked within a round.
     return {
         "scan_count": q_scan_count,
         "project_filter": q_project_filter,
-        "filter_lang": q_filter_lang,
+        "curation_funnel": q_curation_funnel,
         "percentiles": q_percentiles,
         "ntile_percent_rank": q_ntile_percent_rank,
         "grouping_sets": q_grouping_sets,
@@ -1377,7 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corr_stats": q_corr_stats,
         "date_spine_fill": q_date_spine_fill,
-        "curation_funnel": q_curation_funnel,
+        "filter_lang": q_filter_lang,
         "curation_funnel_neardup": q_curation_funnel_neardup,
     }
 

@@ -1114,9 +1114,10 @@ def q_dup_ngram_fraction(spark, d):
 
 
 def q_top_bigram_fraction(spark, d):
-    # Gopher top-n-gram filter signal as the SCALABLE dataflow (explode +
-    # two keyed aggs, linear per doc) — see operators/quality.py for why the
-    # expression-only alternative is quadratic in document length.
+    # Gopher top-n-gram filter signal as the zero-shuffle expression (sort
+    # hashed grams + longest-run fold, O(L log L) per doc); the distributed
+    # explode+agg shape survives as top_ngram_fraction_agg for >10^8-token
+    # outlier docs — see operators/quality.py.
     from entity_matching_in_online_retail_spark.operators import quality as Q
 
     return Q.top_ngram_fraction(_t(spark, d, "documents"), n=2)

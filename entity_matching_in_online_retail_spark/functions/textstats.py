@@ -139,6 +139,27 @@ def token_ngrams(tokens_col: Column, n: int) -> Column:
     )
 
 
+def hashed_ngrams(tokens_col: Column, n: int) -> Column:
+    """Ordered n-gram IDENTITIES as xxhash64 longs (array<bigint>): the
+    same group/join/distinct behavior as space-joined string grams (tokens
+    contain no separator, so the mapping is injective up to 64-bit
+    collisions) at 8 bytes per gram and no string building. Empty for docs
+    shorter than n (sequence(1, 0) DESCENDS, so short docs short-circuit).
+
+    Callers should pass a MATERIALIZED token column (a real projected
+    column, not the normalize+split expression tree): Catalyst re-evaluates
+    an inlined tree per element_at reference inside the transform.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    n_grams = F.size(tokens_col) - (n - 1)
+    hashed = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(*[F.element_at(tokens_col, i + k) for k in range(n)]),
+    )
+    return F.when(n_grams > 0, hashed).otherwise(F.array().cast("array<bigint>"))
+
+
 def dup_ngram_fraction(tokens_col: Column, n: int) -> Column:
     """Fraction of n-gram occurrences that are repeats of an earlier n-gram
     in the same document: 1 - distinct/total. 0.0 for docs shorter than n.
@@ -147,19 +168,51 @@ def dup_ngram_fraction(tokens_col: Column, n: int) -> Column:
     array just to size() it re-evaluates the whole construction per use
     (Catalyst does not CSE across conditional branches; measured 17.5s ->
     4.4s on a 100k-doc projection). Gram identity for the distinct count is
-    xxhash64 over the n adjacent tokens — same value as string-gram
-    distinct (tokens contain no separator, so the mapping is injective up
-    to 64-bit hash collisions) without materializing concatenated strings.
+    hashed_ngrams (see above).
     """
     total = F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
-    hashed = F.transform(
-        idx,
-        lambda i: F.xxhash64(*[F.element_at(tokens_col, i + k) for k in range(n)]),
-    )
-    distinct = F.size(F.array_distinct(hashed))
+    distinct = F.size(F.array_distinct(hashed_ngrams(tokens_col, n)))
     return F.when(
         total > 0, (total - distinct).cast("double") / total
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction_expr(tokens_col: Column, n: int) -> Column:
+    """Per-document top-n-gram fraction as a PURE EXPRESSION: sort the
+    hashed gram identities and fold once over the sorted array counting the
+    longest equal run (= the most frequent gram's count). O(L log L) per
+    document, zero shuffles, no explode — versus the explode + two keyed
+    aggregations + join-back dataflow this replaces on the hot path
+    (operators/quality.top_ngram_fraction_agg keeps that shape for
+    pathological single documents whose gram array exceeds one task's
+    memory — at ~8 B/gram that means >10^8-token docs).
+
+    0.0 for docs with no n-grams, matching the agg form's left-join fill.
+    """
+    grams = F.sort_array(hashed_ngrams(tokens_col, n))
+    total = F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
+
+    def _step(acc, x):
+        new_run = F.when(
+            (acc["run"] > 0) & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    best = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(0).cast("bigint").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _step,
+    )["best"]
+    return F.when(
+        total > 0, best.cast("double") / total
     ).otherwise(F.lit(0.0))
 
 

@@ -4,12 +4,14 @@ repetition fraction (Gopher-rule analogue) and benchmark decontamination
 
 Shapes chosen for 10^12-doc scale:
 
-- `top_ngram_fraction` is explode -> two keyed aggregations. The per-doc
-  alternative (array_distinct + per-gram filter inside one expression) is
-  O(distinct x total) PER DOCUMENT — quadratic in document length, which a
-  100 TB corpus with book-length outliers cannot afford. The explode shape
-  is linear, partial-aggregates map-side, and both shuffles key on doc_id
-  (+gram), which is near-uniform — no skew handling needed.
+- `top_ngram_fraction` is a pure per-document expression: sort the hashed
+  gram identities, fold once for the longest equal run — O(L log L) per
+  doc, zero shuffles. (The naive expression form — array_distinct +
+  per-gram filter — is O(distinct x total), quadratic, and was never an
+  option.) `top_ngram_fraction_agg` keeps the explode -> two keyed
+  aggregations shape, linear and insensitive to single-document size, for
+  corpora with >10^8-token outlier documents; both shuffles key on doc_id
+  (+gram), near-uniform — no skew handling needed.
 - `decontaminate` keys on the n-gram: the benchmark side is tiny (an eval
   set, thousands of docs) so its distinct n-gram set is broadcast; the
   corpus side streams map-side through the broadcast join — ONE shuffle
@@ -40,14 +42,9 @@ def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     # gram transform (which is O(len^2) re-evaluation — measured 8.0s ->
     # 1.5s on the 100k-doc top-gram agg).
     with_toks = docs.select(F.col(id_col), TX.tokens_seq(norm).alias("_toks"))
-    toks = F.col("_toks")
-    n_grams = F.size(toks) - (n - 1)
-    hashed = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(*[F.element_at(toks, i + k) for k in range(n)]),
+    return with_toks.select(
+        F.col(id_col), F.explode(TS.hashed_ngrams(F.col("_toks"), n)).alias("gram")
     )
-    grams = F.when(n_grams > 0, hashed).otherwise(F.array().cast("array<bigint>"))
-    return with_toks.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def top_ngram_fraction(
@@ -58,6 +55,28 @@ def top_ngram_fraction(
 
     Returns (id_col, top_frac double). Documents with fewer than n tokens
     get top_frac = 0.0 (no n-grams — nothing to repeat).
+
+    Pure per-document expression (sort hashed grams + fold for the longest
+    equal run — functions/textstats.top_ngram_fraction_expr): zero
+    shuffles, zero joins. The explode + two-keyed-aggs dataflow this
+    replaced survives as top_ngram_fraction_agg for single documents whose
+    gram array exceeds one task's memory (>10^8 tokens at 8 B/gram).
+    """
+    norm = TX.normalize_text(F.col(text_col), with_nfkc=False)
+    with_toks = docs.select(F.col(id_col), TX.tokens_seq(norm).alias("_toks"))
+    return with_toks.select(
+        F.col(id_col),
+        F.round(TS.top_ngram_fraction_expr(F.col("_toks"), n), 6).alias("top_frac"),
+    )
+
+
+def top_ngram_fraction_agg(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The distributed-aggregation form of top_ngram_fraction: explode ->
+    per-(doc, gram) count -> per-doc max/sum -> left join back (0.0 fill).
+    Linear per document and insensitive to single-document size — the shape
+    to use when individual documents are too large to sort in one task.
     """
     per_gram = (
         _doc_grams(docs, id_col, text_col, n)

@@ -15,11 +15,9 @@ a curation run is audited by) falls out of ONE groupBy over the label frame
 same frame filtered, so metrics and output share a single lineage.
 
 Dataflow shape (100 TB notes):
-- Row-local signals (lang score, quality, dup-n-gram fraction) are one
-  codegen projection riding the scan — no shuffle, no Python.
-- Top-n-gram fraction uses the explode + two-keyed-aggs operator
-  (operators/quality.py — linear per doc; the expression-only alternative
-  is quadratic in document length) joined back on doc_id.
+- Row-local signals (lang score, quality, dup-n-gram fraction, top-n-gram
+  fraction via the sorted-hashed-gram run fold) are one codegen projection
+  riding the scan — no shuffle, no Python, no join-back.
 - Contamination explodes corpus grams against a BROADCAST benchmark gram
   set (eval sets are small by construction); the corpus never shuffles on
   the gram key — one doc_id-keyed agg for the hit flags.
@@ -111,12 +109,15 @@ def _labeled(
             "_lang": TS.lang_id(F.col("_lt")),
             "_q": TS.quality_score(text, F.col("_qt")),  # rounded 6dp inside
             "_dup": F.round(TS.dup_ngram_fraction(F.col("_st"), cfg.rep_n), 6),
+            # Pure expression (sorted-hashed-gram run fold) — rides the same
+            # projection; the explode+agg+join-back alternative costs two
+            # corpus-wide exchanges (operators/quality.top_ngram_fraction_agg
+            # remains for >10^8-token single documents).
+            "_top": F.round(
+                TS.top_ngram_fraction_expr(F.col("_st"), cfg.rep_n), 6
+            ),
         }
     )
-    top = Q.top_ngram_fraction(docs, n=cfg.rep_n, id_col=id_c, text_col=txt).select(
-        F.col(id_c), F.col("top_frac").alias("_top")
-    )
-    base = base.join(top, id_c)
 
     if benchmark is not None:
         hits = (

@@ -145,3 +145,13 @@ def test_deterministic_keep_monotone_in_rate(spark):
     k100 = {r["doc_id"] for r in df.where(TS.deterministic_keep(F.col("doc_id"), 100)).collect()}
     k500 = {r["doc_id"] for r in df.where(TS.deterministic_keep(F.col("doc_id"), 500)).collect()}
     assert k100 <= k500  # threshold semantics nest: raising the rate only adds ids
+
+
+def test_top_ngram_fraction_expr_equals_agg(spark):
+    # The zero-shuffle expression form and the distributed explode+agg form
+    # must agree document-for-document, including gram-less docs (0.0 fill)
+    # and heavy-repetition docs.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expr = {r["doc_id"]: r["top_frac"] for r in Q.top_ngram_fraction(docs, n=2).collect()}
+    agg = {r["doc_id"]: r["top_frac"] for r in Q.top_ngram_fraction_agg(docs, n=2).collect()}
+    assert expr == agg and len(expr) > 0

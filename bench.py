@@ -114,7 +114,7 @@ def run_corpus_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
     out: dict[str, float] = {}
-    for name in ["groupby_count", "fetch_join", "self_join_block", "window_topk", "ann_bruteforce", "token_df"]:
+    for name in ["groupby_count", "fetch_join", "self_join_block", "window_topk", "ann_bruteforce", "token_df", "curation_funnel"]:
         q = E.queries()[name]
         t = time.time()
         df = q(spark, sf_dir)

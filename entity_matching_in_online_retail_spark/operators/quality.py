@@ -113,3 +113,25 @@ def decontaminate(
     return hits.groupBy(id_col).agg(
         F.count_distinct("gram").alias("n_shared")
     )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The EXISTENCE form of decontaminate: (id_col) of documents sharing
+    at least one token n-gram with the benchmark set. A left-semi join
+    against the broadcast benchmark gram set + one distinct — ONE
+    corpus-wide exchange, versus two for decontaminate's per-doc distinct
+    count ((id, gram) then (id)). Use when only the contaminated/clean
+    verdict matters (min_shared == 1, the common funnel case)."""
+    bench_grams = _doc_grams(benchmark, id_col, text_col, n).select("gram").distinct()
+    return (
+        _doc_grams(docs, id_col, text_col, n)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

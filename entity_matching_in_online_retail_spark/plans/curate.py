@@ -120,11 +120,20 @@ def _labeled(
     )
 
     if benchmark is not None:
-        hits = (
-            Q.decontaminate(docs, benchmark, n=cfg.decon_n, id_col=id_c, text_col=txt)
-            .where(F.col("n_shared") >= cfg.min_shared)
-            .select(F.col(id_c), F.lit(True).alias("_cont"))
-        )
+        if cfg.min_shared <= 1:
+            # Existence is enough: the semi-join form costs one corpus-wide
+            # exchange instead of decontaminate's two (no per-doc count).
+            hits = Q.contaminated_ids(
+                docs, benchmark, n=cfg.decon_n, id_col=id_c, text_col=txt
+            ).select(F.col(id_c), F.lit(True).alias("_cont"))
+        else:
+            hits = (
+                Q.decontaminate(
+                    docs, benchmark, n=cfg.decon_n, id_col=id_c, text_col=txt
+                )
+                .where(F.col("n_shared") >= cfg.min_shared)
+                .select(F.col(id_c), F.lit(True).alias("_cont"))
+            )
         base = base.join(hits, id_c, "left")
     else:
         base = base.withColumn("_cont", F.lit(None).cast("boolean"))

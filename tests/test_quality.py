@@ -155,3 +155,14 @@ def test_top_ngram_fraction_expr_equals_agg(spark):
     expr = {r["doc_id"]: r["top_frac"] for r in Q.top_ngram_fraction(docs, n=2).collect()}
     agg = {r["doc_id"]: r["top_frac"] for r in Q.top_ngram_fraction_agg(docs, n=2).collect()}
     assert expr == agg and len(expr) > 0
+
+
+def test_contaminated_ids_matches_decontaminate_existence(spark):
+    # The one-exchange existence form must flag exactly the docs the counted
+    # form reports with n_shared >= 1.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    counted = {r["doc_id"] for r in Q.decontaminate(corpus, bench, n=3).collect()}
+    exists = {r["doc_id"] for r in Q.contaminated_ids(corpus, bench, n=3).collect()}
+    assert exists == counted and counted

@@ -148,6 +148,11 @@ def _labeled(
         .when(F.col("_cont"), F.lit("contaminated"))
     )
     lab = base.withColumn("_ds0", ds0)
+    # The token arrays exist only to feed the signal projection above —
+    # drop them BEFORE the md5 window so its corpus-wide exchange carries
+    # the document plus small scalars, not 3x the text in token form
+    # (measured: the window shuffle was the widest funnel exchange).
+    lab = lab.drop("_lt", "_qt", "_st")
 
     # Exact dedup: keeper = min surviving id per md5(text) group. One
     # window, no frame split; dropped docs are excluded from the min so

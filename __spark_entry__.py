@@ -1892,7 +1892,8 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct "
             "FROM sig), "
             "lab0 AS (SELECT m.doc_id, m.text, "
-            "CASE WHEN m.lang_guess <> 'en' THEN 'lang' "
+            "CASE WHEN m.text IS NULL OR length(m.text) = 0 THEN 'missing' "
+            "WHEN m.lang_guess <> 'en' THEN 'lang' "
             "WHEN round(0.35 * m.alpha + 0.25 * (1.0 - least(m.punct * 4.0, 1.0)) "
             "+ 0.2 * least(CAST(length(m.text) AS DOUBLE) / 200.0, 1.0) "
             "+ 0.2 * (CASE WHEN m.wl >= 3.0 AND m.wl <= 10.0 THEN 1.0 ELSE 0.5 END), 6) < 0.85 THEN 'quality' "

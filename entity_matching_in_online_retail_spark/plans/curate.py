@@ -6,7 +6,7 @@ per-stage filtering.
 Every document is labeled with the FIRST stage that rejects it
 (`drop_stage`), or NULL if it reaches the final corpus:
 
-    lang -> quality -> repetition -> contaminated -> exact_dup
+    missing -> lang -> quality -> repetition -> contaminated -> exact_dup
         [-> near_dup] -> sampled_out
 
 Why labels, not chained filters: the per-stage retention report (the thing
@@ -52,6 +52,7 @@ from ..operators import quality as Q
 
 # Funnel order IS the attribution order; funnel_metrics reports in it.
 STAGES = (
+    "missing",
     "lang",
     "quality",
     "repetition",
@@ -139,7 +140,12 @@ def _labeled(
         base = base.withColumn("_cont", F.lit(None).cast("boolean"))
 
     ds0 = (
-        F.when(~F.col("_lang").isin(*cfg.allowed_langs), F.lit("lang"))
+        # Explicit guard: NULL text propagates NULL through every signal
+        # comparison, which would fall through ALL when-branches and label
+        # the doc a survivor — the one outcome a curation funnel must never
+        # produce for a missing document.
+        F.when(text.isNull() | (F.length(text) == 0), F.lit("missing"))
+        .when(~F.col("_lang").isin(*cfg.allowed_langs), F.lit("lang"))
         .when(F.col("_q") < cfg.min_quality, F.lit("quality"))
         .when(
             (F.col("_dup") > cfg.max_dup_frac) | (F.col("_top") > cfg.max_top_frac),

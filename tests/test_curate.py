@@ -114,6 +114,18 @@ def test_sampling_is_last_and_deterministic(spark):
     assert lab == _labels(CUR.funnel_labels(docs, None, none_kept))
 
 
+def test_missing_text_never_survives(spark):
+    # NULL text propagates NULL through every signal comparison; without
+    # the explicit guard it would fall through all when-branches to 'kept'.
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=GOOD_EN), Row(doc_id=2, text=None), Row(doc_id=3, text="")]
+    )
+    lab = _labels(CUR.funnel_labels(docs, None, OPEN))
+    assert lab == {1: None, 2: "missing", 3: "missing"}
+    out_ids = {r["doc_id"] for r in CUR.curate(docs, None, OPEN).collect()}
+    assert out_ids == {1}
+
+
 def test_funnel_metrics_partitions_corpus(spark):
     rows = [(i, GOOD_EN if i % 2 else GOOD_DE) for i in range(20)]
     docs = _docs(spark, rows)

@@ -284,7 +284,12 @@ def main() -> int:
         docs = offers.select("record_id", "norm_text")
         cur_bench = docs.where(F.pmod(F.col("record_id"), F.lit(97)) == 0)
         cur_corpus = docs.where(F.pmod(F.col("record_id"), F.lit(97)) != 0)
+        # Product titles are stopword-poor, so the lang-ID heuristic calls
+        # nearly all of them 'und' — allow it (plus relax quality to 0.5 for
+        # short titles); otherwise the first stage labels ~99.999% of the
+        # corpus and exact-/near-dedup discriminate over nothing.
         cur_cfg = CUR.CurateConfig(
+            allowed_langs=("en", "und"),
             min_quality=0.5,
             id_col="record_id",
             text_col="norm_text",

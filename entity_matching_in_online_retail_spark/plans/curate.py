@@ -243,3 +243,50 @@ def curate(
 
 def with_near_dup(cfg: CurateConfig, threshold: float = 0.8) -> CurateConfig:
     return replace(cfg, near_dup_threshold=threshold)
+
+
+def curate_observed(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    cfg: CurateConfig = CurateConfig(),
+):
+    """(survivors, report): the PII-redacted surviving corpus plus a
+    zero-extra-pass retention report.
+
+    The per-stage counts/checksums ride the survivor action as observe()
+    metrics (the stage set is fixed, so the groupBy report folds into 2x8
+    conditional aggregates on one Observation) — writing the survivors IS
+    the only job; calling report() afterwards converts the observation into
+    the same (stage, n_docs, id_ck) rows funnel_metrics produces, minus
+    all-zero stages. This is the shape jobs/run_curate.py uses: at corpus
+    scale a second funnel execution (or a persist of the label frame) just
+    to count retentions is the kind of cost observe() exists to remove.
+    """
+    from pyspark.sql import Observation
+
+    lab = _labeled(docs, benchmark, cfg)
+    stage_col = F.coalesce(F.col("drop_stage"), F.lit("kept"))
+    ck = F.pmod(F.col(cfg.id_col), F.lit(2147483647))
+    obs = Observation()
+    aggs = []
+    for s in (*STAGES, "kept"):
+        cond = stage_col == s
+        aggs.append(F.count(F.when(cond, 1)).alias(f"n_{s}"))
+        aggs.append(F.sum(F.when(cond, ck)).alias(f"ck_{s}"))
+    observed = lab.observe(obs, *aggs)
+    out_cols = [
+        TS.pii_redact(F.col(c)).alias(c) if c == cfg.text_col else F.col(c)
+        for c in lab.columns
+        if c != "drop_stage"
+    ]
+    survivors = observed.where(F.col("drop_stage").isNull()).select(*out_cols)
+
+    def report() -> dict[str, tuple[int, int]]:
+        got = obs.get  # blocks until the survivor action has run
+        return {
+            s: (int(got[f"n_{s}"]), int(got[f"ck_{s}"] or 0))
+            for s in (*STAGES, "kept")
+            if got[f"n_{s}"]
+        }
+
+    return survivors, report

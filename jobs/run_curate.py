@@ -67,12 +67,9 @@ def main() -> int:
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
 
     t0 = time.time()
-    CUR.curate(docs, bench, cfg).write.mode("overwrite").parquet(args.output)
-    labels = CUR.funnel_labels(docs, bench, cfg)
-    stages = {
-        r["stage"]: r["n_docs"]
-        for r in CUR.funnel_metrics(labels, id_col=args.id_col).collect()
-    }
+    survivors, report = CUR.curate_observed(docs, bench, cfg)
+    survivors.write.mode("overwrite").parquet(args.output)
+    stages = {s: n for s, (n, _ck) in report().items()}
     print(
         json.dumps(
             {

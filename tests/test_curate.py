@@ -151,6 +151,27 @@ def test_curate_redacts_and_preserves_columns(spark):
     assert row["source"] == "web"
 
 
+def test_curate_observed_single_pass_report_matches_metrics(spark):
+    # The observe()-backed report (rides the survivor action, zero extra
+    # passes) must equal the groupBy report, and the survivors must equal
+    # curate()'s output.
+    rows = [(i, GOOD_EN if i % 3 else PUNCT_SOUP) for i in range(1, 13)]
+    docs = _docs(spark, rows)
+    cfg = CUR.CurateConfig(sample_permille=800)
+    survivors, report = CUR.curate_observed(docs, None, cfg)
+    got_rows = survivors.collect()  # the one action; fires the observation
+    rep = report()
+    labels = CUR.funnel_labels(docs, None, cfg)
+    met = {
+        r["stage"]: (r["n_docs"], r["id_ck"])
+        for r in CUR.funnel_metrics(labels).collect()
+    }
+    assert rep == met
+    assert {r["doc_id"] for r in got_rows} == {
+        r["doc_id"] for r in CUR.curate(docs, None, cfg).collect()
+    }
+
+
 def test_curate_keeps_exactly_the_unlabeled_docs(spark):
     rows = [(i, GOOD_EN if i % 3 else PUNCT_SOUP) for i in range(1, 13)]
     docs = _docs(spark, rows)

@@ -50,6 +50,12 @@ from ..functions import text as TX
 from ..functions import textstats as TS
 from ..operators import quality as Q
 
+# Fingerprint fold modulus: prime < 10^6, so a 10^12-doc stage sums to
+# <= 10^18 < 2^63 — no ANSI overflow at the module's design scale (a
+# 2^31-scale fold would overflow the accumulating long sum above ~4.3e9
+# docs per stage).
+_CK_MOD = 999983
+
 # Funnel order IS the attribution order; funnel_metrics reports in it.
 STAGES = (
     "missing",
@@ -89,6 +95,16 @@ def _labeled(
     Internal columns are underscore-prefixed and dropped before return.
     """
     id_c, txt = cfg.id_col, cfg.text_col
+    reserved = [
+        c
+        for c in docs.columns
+        if c.startswith("_") or c == "drop_stage"
+    ]
+    if reserved:
+        raise ValueError(
+            "curate reserves underscore-prefixed column names and "
+            f"'drop_stage'; rename input columns {reserved}"
+        )
     text = F.col(txt)
     # Three token views, each mirroring the oracle-proven single-signal
     # queries exactly: lang uses raw lowercase whitespace tokens, quality
@@ -102,9 +118,12 @@ def _labeled(
     base = docs.select(
         "*",
         TX.tokens(F.lower(text)).alias("_lt"),
-        TX.tokens(TX.normalize_text(text, with_nfkc=False)).alias("_qt"),
         TX.tokens_seq(TX.normalize_text(text, with_nfkc=False)).alias("_st"),
     )
+    # tokens() IS array_distinct(tokens_seq()) — derive the quality view
+    # from the materialized sequence instead of running the regex
+    # normalize+split tree a second time.
+    base = base.withColumn("_qt", F.array_distinct(F.col("_st")))
     base = base.withColumns(
         {
             "_lang": TS.lang_id(F.col("_lt")),
@@ -209,17 +228,26 @@ def funnel_metrics(labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     id_ck is a value-level fingerprint of the assignment (two runs that
     merely swap which docs a stage dropped won't collide). Ids are folded
-    through pmod(id, 2^31-1) before summing: raw 64-bit ids (e.g.
-    xxhash64-derived record ids) overflow a long sum under ANSI mode at
-    corpus scale, while the folded sum stays under 2^52 up to ~10^6 docs
-    per stage and remains cross-engine reproducible.
+    through pmod(id, _CK_MOD) before summing: raw 64-bit ids (e.g.
+    xxhash64-derived record ids) overflow a long sum under ANSI mode, and
+    the sub-10^6 modulus keeps even a 10^12-doc stage's accumulating sum
+    under 2^63 while remaining cross-engine reproducible.
     """
     return labels.groupBy(
         F.coalesce(F.col("drop_stage"), F.lit("kept")).alias("stage")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.pmod(F.col(id_col), F.lit(2147483647))).alias("id_ck"),
+        F.sum(F.pmod(F.col(id_col), F.lit(_CK_MOD))).alias("id_ck"),
     )
+
+
+def _output_cols(lab: DataFrame, cfg: CurateConfig) -> list:
+    """Survivor output columns: everything but the label, text redacted."""
+    return [
+        TS.pii_redact(F.col(c)).alias(c) if c == cfg.text_col else F.col(c)
+        for c in lab.columns
+        if c != "drop_stage"
+    ]
 
 
 def curate(
@@ -233,12 +261,7 @@ def curate(
     not two.
     """
     lab = _labeled(docs, benchmark, cfg)
-    out_cols = [
-        TS.pii_redact(F.col(c)).alias(c) if c == cfg.text_col else F.col(c)
-        for c in lab.columns
-        if c != "drop_stage"
-    ]
-    return lab.where(F.col("drop_stage").isNull()).select(*out_cols)
+    return lab.where(F.col("drop_stage").isNull()).select(*_output_cols(lab, cfg))
 
 
 def with_near_dup(cfg: CurateConfig, threshold: float = 0.8) -> CurateConfig:
@@ -266,7 +289,7 @@ def curate_observed(
 
     lab = _labeled(docs, benchmark, cfg)
     stage_col = F.coalesce(F.col("drop_stage"), F.lit("kept"))
-    ck = F.pmod(F.col(cfg.id_col), F.lit(2147483647))
+    ck = F.pmod(F.col(cfg.id_col), F.lit(_CK_MOD))
     obs = Observation()
     aggs = []
     for s in (*STAGES, "kept"):
@@ -274,12 +297,9 @@ def curate_observed(
         aggs.append(F.count(F.when(cond, 1)).alias(f"n_{s}"))
         aggs.append(F.sum(F.when(cond, ck)).alias(f"ck_{s}"))
     observed = lab.observe(obs, *aggs)
-    out_cols = [
-        TS.pii_redact(F.col(c)).alias(c) if c == cfg.text_col else F.col(c)
-        for c in lab.columns
-        if c != "drop_stage"
-    ]
-    survivors = observed.where(F.col("drop_stage").isNull()).select(*out_cols)
+    survivors = observed.where(F.col("drop_stage").isNull()).select(
+        *_output_cols(lab, cfg)
+    )
 
     def report() -> dict[str, tuple[int, int]]:
         got = obs.get  # blocks until the survivor action has run

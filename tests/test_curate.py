@@ -133,7 +133,7 @@ def test_funnel_metrics_partitions_corpus(spark):
     labels = CUR.funnel_labels(docs, None, cfg)
     met = {r["stage"]: (r["n_docs"], r["id_ck"]) for r in CUR.funnel_metrics(labels).collect()}
     assert sum(n for n, _ in met.values()) == 20
-    # ids < 2^31, so the fold is the identity here
+    # ids < the fold modulus, so the fold is the identity here
     assert sum(s for _, s in met.values()) == sum(range(20))
     assert "lang" in met and met["lang"][0] == 10  # the German half
 

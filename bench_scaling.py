@@ -32,7 +32,10 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-DEFAULT_STAGES = ["block", "score", "cc"]
+# curate (the corpus-curation funnel) joined the default matrix in round 5;
+# minhash / neardup_groups stay opt-in via --stages (their sf1 memos carry
+# the standing numbers and each run costs minutes at local[2]).
+DEFAULT_STAGES = ["block", "score", "cc", "curate"]
 DEFAULT_LEVELS = [2, 8, 32]
 
 

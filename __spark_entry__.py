@@ -1217,6 +1217,24 @@ def q_date_spine_fill(spark, d):
     )
 
 
+def q_range_join_binned(spark, d):
+    # The SAME range-join semantics as q_range_join, executed as a binned
+    # equi-join (operators/rangejoin.py) instead of the O(n^2) broadcast-
+    # nested-loop theta join — the 100 TB shape; equivalence to the theta
+    # plan is also pytest-pinned, and the plan test asserts no
+    # BroadcastNestedLoopJoin/Cartesian appears.
+    from entity_matching_in_online_retail_spark.operators import rangejoin as RJ
+
+    p = _t(spark, d, "part")
+    pa = F.col("pa")
+    a = p.select(
+        F.col("p_partkey").alias("ka"), F.col("p_retailprice").alias("pa")
+    ).select("ka", "pa", (pa * 0.99).alias("lo"), (pa * 1.01).alias("hi"))
+    b = p.select(F.col("p_partkey").alias("kb"), F.col("p_retailprice").alias("pb"))
+    j = RJ.interval_join(a, b, "lo", "hi", "pb", bin_width=50.0)
+    return j.where(F.col("ka") < F.col("kb")).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_curation_funnel(spark, d):
     # Composed RefinedWeb/Gopher-style curation funnel (plans/curate.py):
     # lang -> quality -> repetition -> decontamination -> exact-dedup ->
@@ -1383,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_spine_fill": q_date_spine_fill,
         "filter_lang": q_filter_lang,
         "curation_funnel_neardup": q_curation_funnel_neardup,
+        "range_join_binned": q_range_join_binned,
     }
 
 
@@ -1445,6 +1464,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY a.lang"
         ),
         "range_join": (
+            "SELECT count(*) AS n FROM part a JOIN part b "
+            "ON b.p_retailprice >= a.p_retailprice * 0.99 "
+            "AND b.p_retailprice <= a.p_retailprice * 1.01 "
+            "AND a.p_partkey < b.p_partkey"
+        ),
+        "range_join_binned": (
             "SELECT count(*) AS n FROM part a JOIN part b "
             "ON b.p_retailprice >= a.p_retailprice * 0.99 "
             "AND b.p_retailprice <= a.p_retailprice * 1.01 "

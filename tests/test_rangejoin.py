@@ -1,0 +1,95 @@
+"""Binned range join (operators/rangejoin.py): set equivalence to the
+naive theta join (including narrow bins, empty/inverted intervals, nulls,
+negatives), and the plan guarantee that no nested-loop/cartesian node
+appears."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from entity_matching_in_online_retail_spark.operators import rangejoin as RJ
+
+
+def _theta(intervals, points, lo, hi, v):
+    return intervals.join(
+        points, (F.col(v) >= F.col(lo)) & (F.col(v) <= F.col(hi))
+    )
+
+
+def _pairs(df, a="ia", b="ip"):
+    return sorted((r[a], r[b]) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    intervals = spark.createDataFrame(
+        [
+            Row(ia=1, lo=0.0, hi=10.0),
+            Row(ia=2, lo=-5.5, hi=-1.0),    # all-negative interval
+            Row(ia=3, lo=9.9, hi=9.9),      # degenerate point interval
+            Row(ia=4, lo=5.0, hi=4.0),      # inverted: never matches
+            Row(ia=5, lo=None, hi=3.0),     # null bound: never matches
+            Row(ia=6, lo=-2.0, hi=2.0),     # straddles zero
+        ]
+    )
+    points = spark.createDataFrame(
+        [Row(ip=10, v=0.0), Row(ip=11, v=9.9), Row(ip=12, v=-1.0),
+         Row(ip=13, v=-5.5), Row(ip=14, v=None), Row(ip=15, v=10.0001)]
+    )
+    return intervals, points
+
+
+@pytest.mark.parametrize("w", [0.5, 3.0, 11.0, 1000.0])
+def test_interval_join_equals_theta_any_bin_width(spark, frames, w):
+    intervals, points = frames
+    got = _pairs(RJ.interval_join(intervals, points, "lo", "hi", "v", w))
+    want = _pairs(_theta(intervals, points, "lo", "hi", "v"))
+    assert got == want and want  # non-empty by construction
+
+
+def test_no_pair_meets_twice(spark, frames):
+    intervals, points = frames
+    out = RJ.interval_join(intervals, points, "lo", "hi", "v", 0.5)
+    assert out.count() == out.dropDuplicates(["ia", "ip"]).count()
+
+
+def test_band_join_equals_theta(spark):
+    left = spark.createDataFrame([Row(il=i, x=float(i)) for i in range(20)])
+    right = spark.createDataFrame(
+        [Row(ir=i, y=float(i) * 1.5 - 3.0) for i in range(20)]
+    )
+    got = sorted(
+        (r["il"], r["ir"]) for r in RJ.band_join(left, right, "x", "y", 2.0).collect()
+    )
+    want = sorted(
+        (r["il"], r["ir"])
+        for r in left.join(
+            right, F.abs(F.col("x") - F.col("y")) <= 2.0
+        ).collect()
+    )
+    assert got == want and want
+    # band_join output drops its synthetic bound columns
+    assert set(RJ.band_join(left, right, "x", "y", 2.0).columns) == {
+        "il", "x", "ir", "y"
+    }
+
+
+def test_binned_plan_has_no_nested_loop(spark, frames):
+    intervals, points = frames
+    binned = RJ.interval_join(intervals, points, "lo", "hi", "v", 3.0)
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # The theta form of the same predicate IS a nested loop — the operator
+    # exists precisely to remove this node.
+    theta_plan = (
+        _theta(intervals, points, "lo", "hi", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in theta_plan or "CartesianProduct" in theta_plan
+
+
+def test_bad_bin_width_rejected(spark, frames):
+    intervals, points = frames
+    with pytest.raises(ValueError, match="bin_width"):
+        RJ.interval_join(intervals, points, "lo", "hi", "v", 0.0)

@@ -1235,6 +1235,35 @@ def q_range_join_binned(spark, d):
     return j.where(F.col("ka") < F.col("kb")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_interval_overlap_join(spark, d):
+    # Interval-overlap join ([ship_day, ship_day + quantity] self-overlap
+    # within a part slice) through the binned operator: both sides explode
+    # to covered bins, the pair is kept only in the bin of
+    # greatest(lo_l, lo_r) — dedupe is a codegen comparison, not an
+    # exchange (operators/rangejoin.py::overlap_join).
+    from entity_matching_in_online_retail_spark.operators import rangejoin as RJ
+
+    li = _t(spark, d, "lineitem").where(F.col("l_partkey") < 60)
+    day = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    iv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        day.cast("double").alias("lo"),
+        (day + F.col("l_quantity")).cast("double").alias("hi"),
+    )
+    a = iv.select(
+        F.col("k").alias("ka"), F.col("lo").alias("la"), F.col("hi").alias("ha")
+    )
+    b = iv.select(
+        F.col("k").alias("kb"), F.col("lo").alias("lb"), F.col("hi").alias("hb")
+    )
+    j = RJ.overlap_join(a, b, "la", "ha", "lb", "hb", bin_width=64.0)
+    return j.where(F.col("ka") < F.col("kb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ka").alias("sum_ka"),
+        F.sum("kb").alias("sum_kb"),
+    )
+
+
 def q_curation_funnel(spark, d):
     # Composed RefinedWeb/Gopher-style curation funnel (plans/curate.py):
     # lang -> quality -> repetition -> decontamination -> exact-dedup ->
@@ -1402,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_lang": q_filter_lang,
         "curation_funnel_neardup": q_curation_funnel_neardup,
         "range_join_binned": q_range_join_binned,
+        "interval_overlap_join": q_interval_overlap_join,
     }
 
 
@@ -1474,6 +1504,16 @@ def oracle_sql() -> dict[str, str]:
             "ON b.p_retailprice >= a.p_retailprice * 0.99 "
             "AND b.p_retailprice <= a.p_retailprice * 1.01 "
             "AND a.p_partkey < b.p_partkey"
+        ),
+        "interval_overlap_join": (
+            "WITH iv AS (SELECT l_orderkey * 10 + l_linenumber AS k, "
+            "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS DOUBLE) AS lo, "
+            "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + l_quantity AS DOUBLE) AS hi "
+            "FROM lineitem WHERE l_partkey < 60) "
+            "SELECT count(*) AS n, CAST(sum(a.k) AS BIGINT) AS sum_ka, "
+            "CAST(sum(b.k) AS BIGINT) AS sum_kb "
+            "FROM iv a JOIN iv b "
+            "ON greatest(a.lo, b.lo) <= least(a.hi, b.hi) AND a.k < b.k"
         ),
         "window_topk": (
             "SELECT lang, doc_id, n_chars, rn FROM ("

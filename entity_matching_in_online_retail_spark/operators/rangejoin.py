@@ -59,6 +59,43 @@ def interval_join(
     )
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval-overlap join ([l_lo, l_hi] intersects [r_lo, r_hi]) as a
+    binned equi-join with NO dedupe exchange.
+
+    Both sides explode to their covered bins; a candidate pair would meet
+    in every shared bin, so the refine keeps the pair only in the ONE bin
+    containing greatest(l_lo, r_lo) — the canonical meeting point every
+    overlapping pair has (overlap iff greatest(lo) <= least(hi)). The
+    dedupe is a codegen comparison, not an exchange.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    w = F.lit(float(bin_width))
+    llo, lhi = F.col(l_lo), F.col(l_hi)
+    rlo, rhi = F.col(r_lo), F.col(r_hi)
+    bl = left.where(lhi >= llo).withColumn(
+        "_bin", F.explode(F.sequence(F.floor(llo / w), F.floor(lhi / w)))
+    )
+    br = right.where(rhi >= rlo).withColumn(
+        "_bin", F.explode(F.sequence(F.floor(rlo / w), F.floor(rhi / w)))
+    )
+    meet = F.floor(F.greatest(llo, rlo) / w)
+    return (
+        bl.join(br, "_bin")
+        .where((F.greatest(llo, rlo) <= F.least(lhi, rhi)) & (F.col("_bin") == meet))
+        .drop("_bin")
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

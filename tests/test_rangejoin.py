@@ -93,3 +93,45 @@ def test_bad_bin_width_rejected(spark, frames):
     intervals, points = frames
     with pytest.raises(ValueError, match="bin_width"):
         RJ.interval_join(intervals, points, "lo", "hi", "v", 0.0)
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    left = spark.createDataFrame(
+        [Row(ia=1, la=0.0, ha=5.0), Row(ia=2, la=4.9, ha=4.9),
+         Row(ia=3, la=-10.0, ha=-2.0), Row(ia=4, la=100.0, ha=90.0),  # inverted
+         Row(ia=5, la=-3.0, ha=3.0)]
+    )
+    right = spark.createDataFrame(
+        [Row(ib=10, lb=5.0, hb=8.0), Row(ib=11, lb=-2.5, hb=-2.5),
+         Row(ib=12, lb=-100.0, hb=200.0), Row(ib=13, lb=6.0, hb=7.0)]
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("w", [0.5, 4.0, 50.0, 1000.0])
+def test_overlap_join_equals_theta_any_bin_width(spark, interval_frames, w):
+    left, right = interval_frames
+    got = sorted(
+        (r["ia"], r["ib"])
+        for r in RJ.overlap_join(left, right, "la", "ha", "lb", "hb", w).collect()
+    )
+    want = sorted(
+        (r["ia"], r["ib"])
+        for r in left.join(
+            right,
+            F.greatest(F.col("la"), F.col("lb"))
+            <= F.least(F.col("ha"), F.col("hb")),
+        ).collect()
+    )
+    assert got == want and want
+
+
+def test_overlap_join_no_pair_meets_twice(spark, interval_frames):
+    left, right = interval_frames
+    # Narrow bins: wide intervals cover MANY shared bins; the meet-bin
+    # refine must still emit each pair exactly once with no dedupe.
+    out = RJ.overlap_join(left, right, "la", "ha", "lb", "hb", 0.5)
+    assert out.count() == out.dropDuplicates(["ia", "ib"]).count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -1217,6 +1217,22 @@ def q_date_spine_fill(spark, d):
     )
 
 
+def q_sessionize_batch(spark, d):
+    # Gap-based sessionization, batch form (operators/sessionize.py): the
+    # SQL-expressible twin of the X4 stateful streaming sessionizer, same
+    # gap (1800s) — lag -> break flag -> running sum -> per-session agg.
+    from entity_matching_in_online_retail_spark.operators import sessionize as SZ
+
+    out = SZ.sessionize(_t(spark, d, "events"), gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", _TS).alias("session_start"),
+        F.date_format("session_end", _TS).alias("session_end"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 def q_range_join_binned(spark, d):
     # The SAME range-join semantics as q_range_join, executed as a binned
     # equi-join (operators/rangejoin.py) instead of the O(n^2) broadcast-
@@ -1432,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel_neardup": q_curation_funnel_neardup,
         "range_join_binned": q_range_join_binned,
         "interval_overlap_join": q_interval_overlap_join,
+        "sessionize_batch": q_sessionize_batch,
     }
 
 
@@ -1504,6 +1521,20 @@ def oracle_sql() -> dict[str, str]:
             "ON b.p_retailprice >= a.p_retailprice * 0.99 "
             "AND b.p_retailprice <= a.p_retailprice * 1.01 "
             "AND a.p_partkey < b.p_partkey"
+        ),
+        "sessionize_batch": (
+            "WITH s AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN epoch(ts) - epoch(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM s) "
+            "SELECT user_id, "
+            f"strftime(min(ts), '{_TS_DUCK}') AS session_start, "
+            f"strftime(max(ts), '{_TS_DUCK}') AS session_end, "
+            "CAST(count(*) AS INT) AS n_events, "
+            "round(sum(value), 4) AS total_value "
+            "FROM g GROUP BY user_id, sess"
         ),
         "interval_overlap_join": (
             "WITH iv AS (SELECT l_orderkey * 10 + l_linenumber AS k, "

@@ -1343,14 +1343,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semi_join, anti_join, sort_limit, date_trunc. The r4-new seven
     # (window_frame, intersect, from_json, token_count_bpe, jsonl_roundtrip,
     # lang_id_iter, gini_by_lang) stay IN until twice-confirmed. Late-round-5
-    # amendment: the new composed-funnel oracle (curation_funnel) takes the
-    # slot of filter_lang (green in r1-r4, four confirmations — the most-
-    # confirmed trivial row in the window). The pytest
+    # amendment: the four oracles BUILT in round 5 (curation_funnel,
+    # sessionize_batch, range_join_binned, interval_overlap_join) take the
+    # slots of filter_lang, scan_count, salt_distribution and case_flags —
+    # each green in at least two CORRECTNESS files (r1–r4) and the most-
+    # confirmed trivial rows in the window. The pytest
     # oracle sweep (tests/test_entry_oracle.py) still differentially checks
     # every oracle_sql() entry at sf0.01 every run, so rotation never
     # leaves an oracle unchecked within a round.
     return {
-        "scan_count": q_scan_count,
+        "sessionize_batch": q_sessionize_batch,
         "project_filter": q_project_filter,
         "curation_funnel": q_curation_funnel,
         "percentiles": q_percentiles,
@@ -1375,9 +1377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": q_distinct_pairs,
         "from_json": q_from_json,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "case_flags": q_case_flags,
+        "interval_overlap_join": q_interval_overlap_join,
         "numeric_closeness": q_numeric_closeness,
-        "salt_distribution": q_salt_distribution,
+        "range_join_binned": q_range_join_binned,
         "jaccard_pairs": q_jaccard_pairs,
         "levenshtein_pairs": q_levenshtein,
         "jaro_winkler_pairs": q_jaro_winkler,
@@ -1446,9 +1448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_spine_fill": q_date_spine_fill,
         "filter_lang": q_filter_lang,
         "curation_funnel_neardup": q_curation_funnel_neardup,
-        "range_join_binned": q_range_join_binned,
-        "interval_overlap_join": q_interval_overlap_join,
-        "sessionize_batch": q_sessionize_batch,
+        "scan_count": q_scan_count,
+        "salt_distribution": q_salt_distribution,
+        "case_flags": q_case_flags,
     }
 
 

@@ -1217,6 +1217,31 @@ def q_date_spine_fill(spark, d):
     )
 
 
+def q_adaptive_quality_filter(spark, d):
+    # Adaptive per-stratum threshold: keep docs at or above their OWN
+    # language's p10 quality score (exact percentile over each stratum,
+    # broadcast back — the two-pass shape for corpus-relative cutoffs,
+    # versus the funnel's fixed global thresholds). Returns per-lang
+    # kept/total so the canonicalizer sees a small stable frame.
+    docs = _t(spark, d, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text"), with_nfkc=False))
+    scored = docs.select(
+        "lang", TS.quality_score(F.col("text"), toks).alias("q")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr("percentile(q, 0.10)").alias("q10")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("q") >= F.col("q10")).cast("long")).alias("n_kept"),
+            F.round(F.min("q10"), 6).alias("q10"),
+        )
+    )
+
+
 def q_sessionize_batch(spark, d):
     # Gap-based sessionization, batch form (operators/sessionize.py): the
     # SQL-expressible twin of the X4 stateful streaming sessionizer, same
@@ -1451,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_count": q_scan_count,
         "salt_distribution": q_salt_distribution,
         "case_flags": q_case_flags,
+        "adaptive_quality_filter": q_adaptive_quality_filter,
     }
 
 
@@ -1523,6 +1549,25 @@ def oracle_sql() -> dict[str, str]:
             "ON b.p_retailprice >= a.p_retailprice * 0.99 "
             "AND b.p_retailprice <= a.p_retailprice * 1.01 "
             "AND a.p_partkey < b.p_partkey"
+        ),
+        "adaptive_quality_filter": (
+            "WITH t AS (SELECT lang, doc_id, text, "
+            "list_distinct(list_filter(string_split("
+            "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), "
+            "tk -> length(tk) > 0)) AS toks FROM documents), "
+            "m AS (SELECT lang, doc_id, "
+            "CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) / len(toks) ELSE 0.0 END AS wl, "
+            "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha, "
+            "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct, "
+            "length(text) AS L FROM t), "
+            "s AS (SELECT lang, round(0.35 * alpha + 0.25 * (1.0 - least(punct * 4.0, 1.0)) "
+            "+ 0.2 * least(CAST(L AS DOUBLE) / 200.0, 1.0) "
+            "+ 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END), 6) AS q FROM m), "
+            "c AS (SELECT lang, quantile_cont(q, 0.10) AS q10 FROM s GROUP BY lang) "
+            "SELECT s.lang, count(*) AS n_total, "
+            "CAST(sum(CASE WHEN s.q >= c.q10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "round(min(c.q10), 6) AS q10 "
+            "FROM s JOIN c ON s.lang = c.lang GROUP BY s.lang"
         ),
         "sessionize_batch": (
             "WITH s AS (SELECT user_id, ts, event_id, value, "

@@ -1236,8 +1236,12 @@ def q_adaptive_quality_filter(spark, d):
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
+            # The cutoff itself is NOT reported: when (N-1)*0.1 is
+            # fractional the interpolated q10 sits strictly between two
+            # 6dp-rounded scores (comparison ulp-robust), but its own 6dp
+            # rounding can land either side of a half — engines differ in
+            # the last digit. The counts are the semantic payload.
             F.sum((F.col("q") >= F.col("q10")).cast("long")).alias("n_kept"),
-            F.round(F.min("q10"), 6).alias("q10"),
         )
     )
 
@@ -1565,8 +1569,7 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END), 6) AS q FROM m), "
             "c AS (SELECT lang, quantile_cont(q, 0.10) AS q10 FROM s GROUP BY lang) "
             "SELECT s.lang, count(*) AS n_total, "
-            "CAST(sum(CASE WHEN s.q >= c.q10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
-            "round(min(c.q10), 6) AS q10 "
+            "CAST(sum(CASE WHEN s.q >= c.q10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
             "FROM s JOIN c ON s.lang = c.lang GROUP BY s.lang"
         ),
         "sessionize_batch": (

@@ -1217,6 +1217,20 @@ def q_date_spine_fill(spark, d):
     )
 
 
+def q_embedding_centroids(spark, d):
+    # Per-label centroid of the 64-dim embeddings (posexplode -> one keyed
+    # avg over (label, dim)): the vector-aggregation dataflow IVF training
+    # (operators/ann.py distributed KMeans) is built on, here oracle-checked
+    # value-for-value. Rounded to 5dp: cross-engine float-summation order
+    # differs at ~1e-13 relative.
+    e = _t(spark, d, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 5).alias("c"))
+    )
+
+
 def q_adaptive_quality_filter(spark, d):
     # Adaptive per-stratum threshold: keep docs at or above their OWN
     # language's p10 quality score (exact percentile over each stratum,
@@ -1481,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_distribution": q_salt_distribution,
         "case_flags": q_case_flags,
         "adaptive_quality_filter": q_adaptive_quality_filter,
+        "embedding_centroids": q_embedding_centroids,
     }
 
 
@@ -1553,6 +1568,13 @@ def oracle_sql() -> dict[str, str]:
             "ON b.p_retailprice >= a.p_retailprice * 0.99 "
             "AND b.p_retailprice <= a.p_retailprice * 1.01 "
             "AND a.p_partkey < b.p_partkey"
+        ),
+        "embedding_centroids": (
+            "WITH x AS (SELECT label, unnest([{'dim': i - 1, 'v': embedding[i]} "
+            "for i in generate_series(1, len(embedding))], recursive := true) "
+            "FROM embeddings) "
+            "SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 5) AS c "
+            "FROM x GROUP BY label, dim"
         ),
         "adaptive_quality_filter": (
             "WITH t AS (SELECT lang, doc_id, text, "

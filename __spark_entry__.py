@@ -1217,6 +1217,24 @@ def q_date_spine_fill(spark, d):
     )
 
 
+def q_window_value_funcs(spark, d):
+    # W-family completion: first_value / last_value / nth_value over an
+    # explicit running frame (unbounded preceding -> current row), the
+    # value-function trio not covered by lag/rank/ntile/frames queries.
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, d, "documents").select(
+        "doc_id",
+        "lang",
+        F.first_value("doc_id").over(w).alias("longest_doc"),
+        F.last_value("doc_id").over(w).alias("running_last"),
+        F.nth_value("doc_id", 2).over(w).alias("second_longest"),
+    )
+
+
 def q_embedding_centroids(spark, d):
     # Per-label centroid of the 64-dim embeddings (posexplode -> one keyed
     # avg over (label, dim)): the vector-aggregation dataflow IVF training
@@ -1496,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_flags": q_case_flags,
         "adaptive_quality_filter": q_adaptive_quality_filter,
         "embedding_centroids": q_embedding_centroids,
+        "window_value_funcs": q_window_value_funcs,
     }
 
 
@@ -1568,6 +1587,15 @@ def oracle_sql() -> dict[str, str]:
             "ON b.p_retailprice >= a.p_retailprice * 0.99 "
             "AND b.p_retailprice <= a.p_retailprice * 1.01 "
             "AND a.p_partkey < b.p_partkey"
+        ),
+        "window_value_funcs": (
+            "SELECT doc_id, lang, "
+            "first_value(doc_id) OVER w AS longest_doc, "
+            "last_value(doc_id) OVER w AS running_last, "
+            "nth_value(doc_id, 2) OVER w AS second_longest "
+            "FROM documents WINDOW w AS (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
         "embedding_centroids": (
             "WITH x AS (SELECT label, unnest([{'dim': i - 1, 'v': embedding[i]} "

@@ -29,6 +29,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_bin_free(*frames: DataFrame) -> None:
+    for df in frames:
+        if "_bin" in df.columns:
+            raise ValueError(
+                "range joins reserve the column name '_bin'; rename it on "
+                "the input (it would be silently overwritten and dropped)"
+            )
+
+
 def interval_join(
     intervals: DataFrame,
     points: DataFrame,
@@ -46,6 +55,7 @@ def interval_join(
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    _check_bin_free(intervals, points)
     w = F.lit(float(bin_width))
     lo, hi, v = F.col(lo_col), F.col(hi_col), F.col(v_col)
     binned_i = intervals.where(hi >= lo).withColumn(
@@ -79,6 +89,7 @@ def overlap_join(
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    _check_bin_free(left, right)
     w = F.lit(float(bin_width))
     llo, lhi = F.col(l_lo), F.col(l_hi)
     rlo, rhi = F.col(r_lo), F.col(r_hi)
@@ -104,11 +115,15 @@ def band_join(
     eps: float,
 ) -> DataFrame:
     """|left.l_col - right.r_col| <= eps as a binned equi-join (the band
-    predicate is the interval join of [l-eps, l+eps] with r)."""
+    predicate is the interval join of [l-eps, l+eps] with r). eps == 0 is
+    the exact-equality band and is valid (any positive bin width is
+    correct; the width only bounds the explode factor)."""
+    if eps < 0:
+        raise ValueError(f"eps must be >= 0, got {eps}")
     lo, hi = f"{l_col}__lo", f"{l_col}__hi"
     intervals = left.withColumns(
         {lo: F.col(l_col) - F.lit(float(eps)), hi: F.col(l_col) + F.lit(float(eps))}
     )
     return interval_join(
-        intervals, right, lo, hi, r_col, bin_width=2.0 * eps
+        intervals, right, lo, hi, r_col, bin_width=(2.0 * eps) or 1.0
     ).drop(lo, hi)

@@ -60,6 +60,11 @@ def _marker(workdir: str, batch_id: int) -> str:
 
 
 def _read_seen(spark: SparkSession, workdir: str) -> DataFrame | None:
+    """md5s of COMMITTED batches only: a batch that crashed after writing
+    its seen dir but before its marker must not poison its own redelivery
+    (the anti-join would remove the batch's keepers and commit an EMPTY
+    batch — reproduced before this guard), nor expose a torn parquet dir
+    to later batches."""
     seen_root = os.path.join(workdir, "seen")
     if not os.path.isdir(seen_root):
         return None
@@ -67,6 +72,9 @@ def _read_seen(spark: SparkSession, workdir: str) -> DataFrame | None:
         os.path.join(seen_root, d)
         for d in sorted(os.listdir(seen_root))
         if d.startswith("batch-")
+        and os.path.exists(
+            os.path.join(workdir, "kept", d, "_COMMITTED")
+        )
     ]
     if not dirs:
         return None
@@ -94,34 +102,64 @@ def apply_curate_batch(
     if os.path.exists(_marker(workdir, batch_id)):
         return  # redelivered batch: already fully applied
 
-    id_c, txt = cfg.id_col, cfg.text_col
-    labels = CUR.funnel_labels(batch_df, benchmark, cfg)
-    joined = batch_df.join(labels, id_c).withColumn("_md5", F.md5(F.col(txt)))
-
-    # Batch keepers: reached the dedup stage and won their within-batch
-    # group — drop_stage is NULL (kept) or 'sampled_out' (keeper that lost
-    # only the final per-doc coin flip; its md5 still blocks later copies).
-    keepers = joined.where(
-        F.col("drop_stage").isNull() | (F.col("drop_stage") == "sampled_out")
+    txt = cfg.text_col
+    # _labeled keeps every original column (no re-join with batch_df), so
+    # the funnel runs ONCE; the localCheckpoint below feeds all three
+    # sinks (kept store, seen store, report) from the same computation.
+    lab = CUR._labeled(batch_df, benchmark, cfg).withColumn(
+        "_md5", F.md5(F.col(txt))
     )
     seen = _read_seen(spark, workdir)
     if seen is not None:
-        keepers = keepers.join(
-            F.broadcast(seen), keepers["_md5"] == seen["md5"], "left_anti"
+        # No broadcast hint: the seen store grows without bound across
+        # batches and would eventually hit the broadcast size limit; let
+        # the planner pick (AQE broadcasts while it is actually small).
+        lab = lab.join(
+            seen.withColumnRenamed("md5", "_seen_md5"),
+            lab["_md5"] == F.col("_seen_md5"),
+            "left",
         )
-    keepers = keepers.localCheckpoint(eager=True)  # two sinks, one compute
+        cross_dup = F.col("_seen_md5").isNotNull()
+    else:
+        cross_dup = F.lit(False)
+    # Effective label: a within-batch keeper (NULL or 'sampled_out' — the
+    # keeper that lost only the final per-doc coin flip) whose md5 an
+    # earlier batch already recorded is a cross-batch 'exact_dup', exactly
+    # as the one-shot funnel would label it against the earlier keeper.
+    keeper_like = F.col("drop_stage").isNull() | (
+        F.col("drop_stage") == "sampled_out"
+    )
+    lab = lab.withColumn(
+        "_eff",
+        F.when(cross_dup & keeper_like, F.lit("exact_dup")).otherwise(
+            F.col("drop_stage")
+        ),
+    )
+    if seen is not None:
+        lab = lab.drop("_seen_md5")
+    lab = lab.localCheckpoint(eager=True)
 
-    kept = keepers.where(F.col("drop_stage").isNull()).select(
-        *CUR._output_cols(keepers.drop("_md5"), cfg)
+    kept = lab.where(F.col("_eff").isNull()).select(
+        *CUR._output_cols(lab.drop("_md5", "_eff"), cfg)
     )
     kept.write.mode("overwrite").parquet(_batch_dir(workdir, "kept", batch_id))
-    keepers.select(F.col("_md5").alias("md5")).distinct().write.mode(
+    new_keepers = lab.where(
+        F.col("_eff").isNull() | (F.col("_eff") == "sampled_out")
+    )
+    new_keepers.select(F.col("_md5").alias("md5")).distinct().write.mode(
         "overwrite"
     ).parquet(_batch_dir(workdir, "seen", batch_id))
 
+    # Report over EFFECTIVE labels, so cross-batch exact dups are counted
+    # as exact_dup (not 'kept'): summed per-batch reports agree with
+    # read_kept() across the whole run.
     report = {
-        r["stage"]: r["n_docs"]
-        for r in CUR.funnel_metrics(labels, id_col=id_c).collect()
+        r["s"]: r["n"]
+        for r in lab.groupBy(
+            F.coalesce(F.col("_eff"), F.lit("kept")).alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     with open(
         os.path.join(_batch_dir(workdir, "kept", batch_id), "_report.json"), "w"
@@ -132,14 +170,24 @@ def apply_curate_batch(
 
 
 def read_kept(spark: SparkSession, workdir: str) -> DataFrame:
-    """The accumulated curated corpus across all committed batches."""
+    """The accumulated curated corpus across all committed batches.
+
+    Raises ValueError (not an opaque reader error) when no batch has
+    committed yet — the corpus schema is unknowable before the first
+    commit, so an empty frame cannot be fabricated."""
     kept_root = os.path.join(workdir, "kept")
-    dirs = [
-        os.path.join(kept_root, d)
-        for d in sorted(os.listdir(kept_root))
-        if d.startswith("batch-")
-        and os.path.exists(os.path.join(kept_root, d, "_COMMITTED"))
-    ]
+    dirs = (
+        [
+            os.path.join(kept_root, d)
+            for d in sorted(os.listdir(kept_root))
+            if d.startswith("batch-")
+            and os.path.exists(os.path.join(kept_root, d, "_COMMITTED"))
+        ]
+        if os.path.isdir(kept_root)
+        else []
+    )
+    if not dirs:
+        raise ValueError(f"no committed curation batches under {workdir}")
     return spark.read.parquet(*dirs)
 
 

@@ -135,3 +135,21 @@ def test_overlap_join_no_pair_meets_twice(spark, interval_frames):
     assert out.count() == out.dropDuplicates(["ia", "ib"]).count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_band_join_eps_zero_is_equality(spark):
+    left = spark.createDataFrame([Row(il=1, x=3.0), Row(il=2, x=4.5)])
+    right = spark.createDataFrame([Row(ir=10, y=3.0), Row(ir=11, y=4.0)])
+    got = sorted(
+        (r["il"], r["ir"]) for r in RJ.band_join(left, right, "x", "y", 0.0).collect()
+    )
+    assert got == [(1, 10)]
+    with pytest.raises(ValueError, match="eps"):
+        RJ.band_join(left, right, "x", "y", -1.0)
+
+
+def test_reserved_bin_column_rejected(spark, frames):
+    intervals, points = frames
+    poisoned = points.withColumn("_bin", F.lit(0))
+    with pytest.raises(ValueError, match="_bin"):
+        RJ.interval_join(intervals, poisoned, "lo", "hi", "v", 1.0)

@@ -121,6 +121,49 @@ def test_redelivery_is_noop(spark, tmp_path):
     assert os.path.getmtime(CS._marker(wd, 0)) == mtime  # skipped wholesale
 
 
+def test_crash_window_redelivery_recovers(spark, tmp_path):
+    # Crash AFTER the kept/seen writes but BEFORE the marker: the seen
+    # store must not include the uncommitted batch's own md5s, or the
+    # redelivery anti-joins its own keepers away and commits an EMPTY
+    # batch (the reproduced data-loss bug this pins).
+    b0 = _corpus(spark).where(F.col("doc_id") < 20)
+    b1 = _corpus(spark).where((F.col("doc_id") >= 20) & (F.col("doc_id") < 60))
+    wd = os.path.join(str(tmp_path), "wd")
+    CS.apply_curate_batch(spark, wd, b0, 0, CFG)
+    CS.apply_curate_batch(spark, wd, b1, 1, CFG)
+    kept_before = sorted(r["doc_id"] for r in CS.read_kept(spark, wd).collect())
+    os.remove(CS._marker(wd, 1))  # simulate the crash window
+    CS.apply_curate_batch(spark, wd, b1, 1, CFG)  # redelivery
+    kept_after = sorted(r["doc_id"] for r in CS.read_kept(spark, wd).collect())
+    assert kept_after == kept_before and kept_before
+
+
+def test_report_counts_cross_batch_dups(spark, tmp_path):
+    import json
+
+    docs = _corpus(spark).where(F.col("doc_id") < 20)
+    dup = docs.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    wd = os.path.join(str(tmp_path), "wd")
+    no_sample = CUR.CurateConfig(sample_permille=1000)
+    CS.apply_curate_batch(spark, wd, docs, 0, no_sample)
+    CS.apply_curate_batch(spark, wd, dup, 1, no_sample)
+    with open(os.path.join(CS._batch_dir(wd, "kept", 1), "_report.json")) as f:
+        rep = json.load(f)["stages"]
+    # every batch-1 doc that reached dedup is a cross-batch exact_dup
+    assert rep.get("kept", 0) == 0 and rep.get("exact_dup", 0) > 0
+    # summed per-batch 'kept' agrees with the accumulated corpus
+    with open(os.path.join(CS._batch_dir(wd, "kept", 0), "_report.json")) as f:
+        rep0 = json.load(f)["stages"]
+    assert rep0.get("kept", 0) == CS.read_kept(spark, wd).count()
+
+
+def test_read_kept_before_first_commit_raises(spark, tmp_path):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no committed"):
+        CS.read_kept(spark, os.path.join(str(tmp_path), "fresh_wd"))
+
+
 def test_near_dup_config_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="near-dup"):
         CS.apply_curate_batch(

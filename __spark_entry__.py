@@ -1217,6 +1217,24 @@ def q_date_spine_fill(spark, d):
     )
 
 
+def q_orc_roundtrip(spark, d):
+    """A5 third columnar format: ORC write + read-back (Spark-native; the
+    spark-avro connector jar is absent, like Iceberg — probed round 5),
+    aggregated with per-text md5 folding so any value corruption in the
+    ORC path fails the hash against the parquet-derived oracle."""
+    out = _export_dir(d, "docs_orc")
+    docs = _t(spark, d, "documents")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.min(F.md5("text")).alias("md5_min"),
+        F.max(F.md5("text")).alias("md5_max"),
+    )
+
+
 def q_window_value_funcs(spark, d):
     # W-family completion: first_value / last_value / nth_value over an
     # explicit running frame (unbounded preceding -> current row), the
@@ -1515,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_quality_filter": q_adaptive_quality_filter,
         "embedding_centroids": q_embedding_centroids,
         "window_value_funcs": q_window_value_funcs,
+        "orc_roundtrip": q_orc_roundtrip,
     }
 
 
@@ -1587,6 +1606,13 @@ def oracle_sql() -> dict[str, str]:
             "ON b.p_retailprice >= a.p_retailprice * 0.99 "
             "AND b.p_retailprice <= a.p_retailprice * 1.01 "
             "AND a.p_partkey < b.p_partkey"
+        ),
+        "orc_roundtrip": (
+            "SELECT lang, count(*) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_len, "
+            "min(md5(text)) AS md5_min, max(md5(text)) AS md5_max "
+            "FROM documents GROUP BY lang"
         ),
         "window_value_funcs": (
             "SELECT doc_id, lang, "

@@ -33,6 +33,12 @@ def minhash_signature(
     dropped (no signature); the pipeline filters empty text upstream. Single
     groupBy shuffle; k min-aggregations run map-side partial so the shuffle
     carries k longs per id.
+
+    Round-6 note: a per-row array_min(transform(...)) form (no shuffle,
+    identical values) was implemented and measured-REJECTED: the k nested
+    higher-order-function trees cost ~12s of one-time analysis/codegen per
+    fresh JVM (vs ~2s for this plan) while the warm walls are equal — the
+    codegen'd aggregation stays.
     """
     tok = df.select(
         F.col(id_col),

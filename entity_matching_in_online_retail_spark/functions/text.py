@@ -24,16 +24,32 @@ from pyspark.sql import types as T
 # --------------------------------------------------------------------------
 
 
+def _nfkc_str(x: str | None) -> str | None:
+    """NFKC with an ASCII fast path: every ASCII string is already in NFKC
+    form (all ASCII code points are NFKC-invariant), and str.isascii() is a
+    C-speed check — the common web-text case skips the per-char normalize."""
+    if x is None:
+        return None
+    return x if x.isascii() else unicodedata.normalize("NFKC", x)
+
+
 @F.pandas_udf(T.StringType())
 def nfkc(s: pd.Series) -> pd.Series:
     """Unicode NFKC normalization, Arrow-batched (record-level, not per-pair)."""
-    return s.map(lambda x: unicodedata.normalize("NFKC", x) if x is not None else None)
+    return s.map(_nfkc_str)
 
 
 def normalize_text(col: Column, with_nfkc: bool = True) -> Column:
     """lower + (NFKC) + [^letter/number/space]->space + collapse ws + trim."""
     c = nfkc(col) if with_nfkc else col
-    c = F.lower(c)
+    return normalize_text_post_nfkc(c)
+
+
+def normalize_text_post_nfkc(col: Column) -> Column:
+    """The JVM tail of normalize_text for inputs already NFKC-normalized
+    (round 6: lets the ingest stage run extraction + NFKC in ONE Arrow
+    round trip via `extract_nfkc` and keep the rest codegen'd)."""
+    c = F.lower(col)
     c = F.regexp_replace(c, r"[^\p{L}\p{N} ]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
@@ -144,3 +160,32 @@ def extract_text_bytes(html: bytes | None) -> str | None:
 def extract_text(html: pd.Series) -> pd.Series:
     """Arrow-batched wrapper over the frozen extractor."""
     return html.map(extract_text_bytes)
+
+
+_EXTRACT_NFKC_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("nfkc_text", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_NFKC_SCHEMA)
+def _extract_nfkc_udf(html: pd.Series) -> pd.DataFrame:
+    """Frozen extractor + NFKC in ONE Arrow round trip.
+
+    text is byte-identical to extract_text (same frozen function);
+    nfkc_text == nfkc(text). Fusing the two record-level Python steps into
+    one struct-returning UDF removes a whole ArrowEvalPython stage from the
+    ingest plan (guide §4.1: you control how many times data crosses the
+    boundary)."""
+    texts = html.map(extract_text_bytes)
+    return pd.DataFrame({"text": texts, "nfkc_text": texts.map(_nfkc_str)})
+
+
+# Marked non-deterministic so the optimizer cannot push the downstream
+# text-length filter below the projection and duplicate the UDF — the
+# unfused ingest plan evaluated extract_text TWICE per row for exactly this
+# reason (guide §4.4; plans/r06/er_ingest_normalize_before.txt shows the
+# doubled ArrowEvalPython).
+extract_nfkc = _extract_nfkc_udf.asNondeterministic()

@@ -76,13 +76,43 @@ def minhash_block_keys(
 def all_block_keys(
     offers: DataFrame, cfg: BlockingConfig, id_col: str = "record_id"
 ) -> DataFrame:
-    """Union of all blockers: (record_id, block_key)."""
-    return (
-        prefix_block_keys(offers, cfg, id_col)
-        .unionByName(leading_token_block_keys(offers, id_col))
-        .unionByName(domain_block_keys(offers, id_col))
-        .unionByName(minhash_block_keys(offers, cfg, id_col))
+    """Union of all blockers: (record_id, block_key).
+
+    Round-6 shape (guide §2.4, §6): the three cheap blockers (pf/bm/dm) come
+    from ONE scan of offers via a single projection + explode instead of
+    three separate scan branches; the MinHash branch keeps its codegen'd
+    explode/groupBy signature (a per-row signature expression was
+    measured-REJECTED — see H.minhash_signature). Key strings and their
+    multiset are identical to the old 4-branch union (pinned by
+    tests/test_blocking.py::test_fused_all_block_keys_equals_branch_union):
+    per input row the cheap array holds exactly the pf/bm/dm keys the three
+    branches would emit, with each branch's row filter expressed as a
+    null-mask that the explode-side filter drops.
+    """
+    st = F.sort_array(F.col("tokens"))
+    pf_key = F.concat(
+        F.lit("pf:"), F.concat_ws(" ", F.slice(st, 1, cfg.prefix_tokens))
     )
+    bm_key = F.concat(
+        F.lit("bm:"), F.concat_ws(" ", F.slice(F.split("norm_text", " "), 1, 2))
+    )
+    dm_key = F.concat_ws(":", F.lit("dm"), F.col("domain"), F.element_at(st, 1))
+    cheap = offers.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(F.length(pf_key) > 3, pf_key),
+                    F.when(F.length(bm_key) > 3, bm_key),
+                    F.when(
+                        F.col("domain").isNotNull() & (F.size("tokens") > 0), dm_key
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("block_key"),
+    )
+    return cheap.unionByName(minhash_block_keys(offers, cfg, id_col))
 
 
 def block_stats(blocks: DataFrame) -> DataFrame:
@@ -91,12 +121,28 @@ def block_stats(blocks: DataFrame) -> DataFrame:
 
 
 def cap_blocks(blocks: DataFrame, cfg: BlockingConfig, id_col: str = "record_id") -> DataFrame:
-    """W1: keep the `block_cap` smallest ids per block (deterministic)."""
+    """W1: keep the `block_cap` smallest ids per block (deterministic).
+
+    Round 6: also attaches `_bsize` = post-cap block size via a second
+    window over the SAME block_key partitioning (no extra exchange — the
+    rows are already hash-partitioned and sorted from the row_number window,
+    and the count window rides behind the rn filter so the WindowGroupLimit
+    map-side pruning of giant blocks stays intact). candidate_pairs uses
+    `_bsize` to split small vs hot blocks with a plain filter instead of
+    recomputing a block-size aggregation per join branch — the old shape
+    re-ran the stats exchange + hash-agg FOUR times (once per anti/semi
+    branch side; plan-verified, plans/r06/er_block_pairs_before.txt).
+    Classification is unchanged: post-cap size = min(pre-cap, block_cap),
+    and block_cap > salt_threshold, so (post > salt_threshold) ==
+    (pre > salt_threshold)."""
     w = W.partitionBy("block_key").orderBy(F.col(id_col))
-    return (
+    capped = (
         blocks.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cfg.block_cap)
         .drop("_rn")
+    )
+    return capped.withColumn(
+        "_bsize", F.count(F.lit(1)).over(W.partitionBy("block_key"))
     )
 
 
@@ -175,8 +221,6 @@ def candidate_pairs(
     (measured row-count-bound) disappears entirely, traded for one
     record_id window over the ~10x-smaller key-row table plus wider join
     rows. Set-equal to emit="all" (tested)."""
-    if stats is None:
-        stats = block_stats(blocks)
     if emit == "lowest_slot":
         blocks = with_key_vec(blocks, cfg, id_col)
 
@@ -187,18 +231,30 @@ def candidate_pairs(
             F.zip_with("_vl", "_vr", lambda a, b: a == b), F.lit(True)
         )
         return pairs.where(first == F.col("_slot").cast("bigint") + 1)
-    # Round-1 joined the FULL (record_id, block_key) table against stats —
-    # a shuffle of every block row just to learn which keys are hot. The hot
-    # set (post-cap size > salt_threshold) is the skew tail: tiny by
-    # construction (bounded count of keys that survived capping above the
-    # threshold), so broadcast it and split with semi/anti joins — zero
-    # additional shuffle of the block table, which after cap_blocks is
-    # already hash-partitioned by block_key.
-    hot_keys = F.broadcast(
-        stats.where(F.col("block_size") > cfg.salt_threshold).select("block_key")
-    )
-    small = blocks.join(hot_keys, "block_key", "left_anti")
-    hot = blocks.join(hot_keys, "block_key", "left_semi")
+    if stats is None and "_bsize" in blocks.columns:
+        # Round 6: cap_blocks already attached the post-cap block size as a
+        # window column over the same exchange, so the small/hot split is a
+        # plain filter — no stats aggregation, no anti/semi joins. The old
+        # broadcast-hot-keys shape re-evaluated the stats subtree (exchange
+        # + two hash-aggs over every capped key row) once per join branch
+        # side — four times in the executed plan (guide §2.4; plan diff in
+        # plans/r06/er_block_pairs_{before,after}.txt). `_bsize` equals
+        # block_stats(blocks).block_size by construction.
+        small = blocks.where(F.col("_bsize") <= cfg.salt_threshold).drop("_bsize")
+        hot = blocks.where(F.col("_bsize") > cfg.salt_threshold).drop("_bsize")
+    else:
+        # Fallback (raw key tables without _bsize, or caller-supplied stats):
+        # the hot set (post-cap size > salt_threshold) is the skew tail —
+        # tiny by construction — so broadcast it and split with semi/anti
+        # joins; zero additional shuffle of the block table.
+        if stats is None:
+            stats = block_stats(blocks)
+        blocks = blocks.drop("_bsize")
+        hot_keys = F.broadcast(
+            stats.where(F.col("block_size") > cfg.salt_threshold).select("block_key")
+        )
+        small = blocks.join(hot_keys, "block_key", "left_anti")
+        hot = blocks.join(hot_keys, "block_key", "left_semi")
 
     vec_l = (
         [F.col("_slot"), F.col("_vec").alias("_vl")] if emit == "lowest_slot" else []

@@ -36,6 +36,17 @@ ATTR_COLS = [
 def offers_with_vectors(offers: DataFrame, idf: DataFrame) -> DataFrame:
     """Attach tf-idf sparse vectors; select only what scoring needs.
 
+    Round 6: in the broadcast regime the vector side of the final join gets
+    an explicit broadcast hint. It is the same O(records) vector table the
+    scoring stage already broadcasts (twin fetch), but here it reaches the
+    join through an ObjectHashAggregate whose size ESTIMATE inherits the
+    exploded child's, so the planner picked a sort-merge join — adding an
+    exchange + sort of the full offers base side for a table it broadcasts
+    happily two stages later (plans/r06/er_tfidf_vectors_before.txt). The
+    hint follows the repo's regime convention (features.pair_features):
+    no hint when autoBroadcastJoinThreshold is -1 (the 10^12-record cluster
+    shape, where this join is a storage-partitioned/sort-merge join).
+
     token_hashes: sorted 31-bit (xxhash64 & 0x7FFFFFFF) int hash of each
     distinct token — the pairwise Jaccard runs on int arrays instead of
     string arrays. Deliberate precision/bandwidth trade-off: int32 arrays
@@ -60,6 +71,11 @@ def offers_with_vectors(offers: DataFrame, idf: DataFrame) -> DataFrame:
         "brand",
         "price",
     )
+    thr = str(
+        offers.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    if thr not in ("-1", "-1b"):
+        vec = F.broadcast(vec)
     return base.withColumn("n_tokens", F.size("token_hashes")).join(
         vec, "record_id", "left"
     )
@@ -143,30 +159,45 @@ def pair_features(
     vec_cols = ["record_id", "tfidf_idx", "tfidf_val"]
     light_l = attrs.select([F.col(c).alias(f"l_{c}") for c in light_cols])
     light_r = attrs.select([F.col(c).alias(f"r_{c}") for c in light_cols])
-    cheap = (
-        pairs.join(light_l, pairs.id_l == light_l.l_record_id)
-        .join(light_r, pairs.id_r == light_r.r_record_id)
-        .select(
-            "id_l",
-            "id_r",
-            "l_title_norm",
-            "r_title_norm",
-            # |A∩B| once; |A∪B| = |A|+|B|-|A∩B| from precomputed sizes —
-            # halves the allocation of the 10^8-pair hot loop vs
-            # intersect+union (memory bandwidth is the scaling ceiling).
+    joined = pairs.join(light_l, pairs.id_l == light_l.l_record_id).join(
+        light_r, pairs.id_r == light_r.r_record_id
+    )
+    if gate_jaccard is not None:
+        # Round 6 (guide §1.2 "don't compute things you throw away"): apply
+        # the gate BEFORE projecting the cheap features, so Levenshtein /
+        # price / brand / the jaccard value run over the ~6% survivors
+        # instead of every candidate pair. The predicate is the verbatim
+        # jaccard expression (Catalyst fuses it into the r-side join
+        # condition exactly as before), so the survivor set is bit-identical
+        # to the old compute-then-filter shape; survivors' feature values
+        # are recomputed from the same columns — identical.
+        joined = joined.where(
             S.jaccard_from_sizes(
                 F.col("l_token_hashes"),
                 F.col("r_token_hashes"),
                 F.col("l_n_tokens"),
                 F.col("r_n_tokens"),
-            ).alias("jaccard"),
-            S.levenshtein_sim(F.col("l_title_norm"), F.col("r_title_norm")).alias("lev_sim"),
-            S.relative_closeness(F.col("l_price"), F.col("r_price")).alias("price_sim"),
-            S.eq_flag(F.col("l_brand"), F.col("r_brand")).alias("brand_eq"),
+            )
+            >= gate_jaccard
         )
+    cheap = joined.select(
+        "id_l",
+        "id_r",
+        "l_title_norm",
+        "r_title_norm",
+        # |A∩B| once; |A∪B| = |A|+|B|-|A∩B| from precomputed sizes —
+        # halves the allocation of the 10^8-pair hot loop vs
+        # intersect+union (memory bandwidth is the scaling ceiling).
+        S.jaccard_from_sizes(
+            F.col("l_token_hashes"),
+            F.col("r_token_hashes"),
+            F.col("l_n_tokens"),
+            F.col("r_n_tokens"),
+        ).alias("jaccard"),
+        S.levenshtein_sim(F.col("l_title_norm"), F.col("r_title_norm")).alias("lev_sim"),
+        S.relative_closeness(F.col("l_price"), F.col("r_price")).alias("price_sim"),
+        S.eq_flag(F.col("l_brand"), F.col("r_brand")).alias("brand_eq"),
     )
-    if gate_jaccard is not None:
-        cheap = cheap.where(F.col("jaccard") >= gate_jaccard)
     if vector_fetch == "unpivot":
         # Single-exchange variant: unpivot survivors to (pair, side, rid)
         # rows, ONE broadcast join against the vector table, regroup by pair

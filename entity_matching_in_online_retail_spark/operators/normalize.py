@@ -40,15 +40,26 @@ def normalize_web_pages(
     df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
     if use_html:
-        df = df.withColumn("text", TX.extract_text(F.col("html")))
-    df = df.drop("html")
+        # Round 6: extraction + NFKC fused into ONE Arrow round trip (the
+        # old shape paid two ArrowEvalPython stages AND evaluated
+        # extract_text twice per row because the text-length filter was
+        # pushed below the second projection — guide §4.1/§4.4; plan diff
+        # in plans/r06/er_ingest_normalize_{before,after}.txt). text and
+        # norm_text values are byte-identical: same frozen extractor, same
+        # NFKC, same JVM normalization tail.
+        df = df.withColumn("_ex", TX.extract_nfkc(F.col("html"))).drop("html")
+        df = df.withColumn("text", F.col("_ex.text"))
+        norm_src = TX.normalize_text_post_nfkc(F.col("_ex.nfkc_text"))
+    else:
+        df = df.drop("html")
+        norm_src = TX.normalize_text(F.col("text"))
 
     df = df.where(F.col("text").isNotNull() & (F.length(F.trim("text")) >= min_chars))
 
     df = (
         df.withColumn("record_id", F.xxhash64("url"))
         .withColumn("domain", TX.domain_key(F.col("url")))
-        .withColumn("norm_text", TX.normalize_text(F.col("text")))
+        .withColumn("norm_text", norm_src)
         .withColumn("tokens", TX.tokens(F.col("norm_text")))
         .withColumn(
             "title_norm", F.concat_ws(" ", F.slice(F.split("norm_text", " "), 1, 6))

@@ -107,6 +107,14 @@ class ERPipeline:
                 partition_by=["part_id"], dynamic=True,
             )
             # Per-partition metrics from the data that actually landed (G2).
+            # Round-6 note: folding these into the write via observe() (one
+            # conditional aggregate per pending part, the CC-fingerprint
+            # pattern) was implemented and measured-REJECTED: CollectMetrics
+            # evaluates its accumulator expressions per row in interpreted
+            # mode, which on the 20M-row pairs / 1.3M-row scores writes cost
+            # ~3s (scores stage A/B: 14.1s vs 11.1s min, bench_probe_
+            # obswrite_ab.py) — more than the ~0.4-1.1s columnar re-read job
+            # it replaces. The separate codegen'd metrics pass stays.
             written = self.catalog.read(stage).where(
                 F.col("part_id").isin([int(p) for p in pending])
             )

@@ -98,15 +98,19 @@ def minhash_near_dups(
         .select("id_l", "id_r")
         .dropDuplicates(["id_l", "id_r"])
     )
-    tl = base.select(F.col("_id").alias("id_l"), F.col("_toks").alias("_tl"))
-    tr = base.select(F.col("_id").alias("id_r"), F.col("_toks").alias("_tr"))
+    # Round 6: both verification fetches probe the SAME unaliased token
+    # subtree (alias after selection) so runtime exchange reuse builds the
+    # broadcast once instead of twice (see features.pair_features).
+    tl, tr = base.alias("_tl_side"), base.alias("_tr_side")
     verified = (
-        cand.join(tl, "id_l")
-        .join(tr, "id_r")
+        cand.join(tl, cand.id_l == F.col("_tl_side._id"))
+        .join(tr, cand.id_r == F.col("_tr_side._id"))
         .select(
             "id_l",
             "id_r",
-            S.token_jaccard(F.col("_tl"), F.col("_tr")).alias("jaccard"),
+            S.token_jaccard(
+                F.col("_tl_side._toks"), F.col("_tr_side._toks")
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -157,46 +157,48 @@ def pair_features(
             cosine_impl = "jvm" if no_broadcast else "python"
     light_cols = ["record_id", "token_hashes", "n_tokens", "title_norm", "brand", "price"]
     vec_cols = ["record_id", "tfidf_idx", "tfidf_val"]
-    light_l = attrs.select([F.col(c).alias(f"l_{c}") for c in light_cols])
-    light_r = attrs.select([F.col(c).alias(f"r_{c}") for c in light_cols])
-    joined = pairs.join(light_l, pairs.id_l == light_l.l_record_id).join(
-        light_r, pairs.id_r == light_r.r_record_id
+    # Round 6: both sides of each twin fetch join the SAME unaliased
+    # subtree (DataFrame.alias after selection, qualified column refs).
+    # The old per-side aliased selects (`l_record_id`, `r_record_id`)
+    # produced two non-canonically-equal broadcast subtrees, so the
+    # identical attrs relation was scanned AND broadcast-built twice per
+    # fetch pair; with a shared subtree, runtime exchange reuse builds it
+    # once and probes it from both joins (guide §2.4 "two operations keyed
+    # the same way can share one exchange"). Measured (alternated, warm,
+    # min/all of 3): cheap phase 7.21s -> 4.76s (bench_probe_reuse_ab.py).
+    light = attrs.select(*light_cols)
+    fl, fr = light.alias("_fl"), light.alias("_fr")
+    joined = pairs.join(fl, pairs.id_l == F.col("_fl.record_id")).join(
+        fr, pairs.id_r == F.col("_fr.record_id")
+    )
+    gate_expr = S.jaccard_from_sizes(
+        F.col("_fl.token_hashes"),
+        F.col("_fr.token_hashes"),
+        F.col("_fl.n_tokens"),
+        F.col("_fr.n_tokens"),
     )
     if gate_jaccard is not None:
-        # Round 6 (guide §1.2 "don't compute things you throw away"): apply
-        # the gate BEFORE projecting the cheap features, so Levenshtein /
-        # price / brand / the jaccard value run over the ~6% survivors
-        # instead of every candidate pair. The predicate is the verbatim
-        # jaccard expression (Catalyst fuses it into the r-side join
-        # condition exactly as before), so the survivor set is bit-identical
-        # to the old compute-then-filter shape; survivors' feature values
-        # are recomputed from the same columns — identical.
-        joined = joined.where(
-            S.jaccard_from_sizes(
-                F.col("l_token_hashes"),
-                F.col("r_token_hashes"),
-                F.col("l_n_tokens"),
-                F.col("r_n_tokens"),
-            )
-            >= gate_jaccard
-        )
+        # Apply the gate before projecting the cheap features, so
+        # Levenshtein / price / brand / the jaccard value run over the ~6%
+        # survivors instead of every candidate pair (guide §1.2). The
+        # predicate is the verbatim jaccard expression (Catalyst fuses it
+        # into the r-side join condition exactly as before), so the
+        # survivor set is bit-identical to the compute-then-filter shape.
+        joined = joined.where(gate_expr >= gate_jaccard)
     cheap = joined.select(
         "id_l",
         "id_r",
-        "l_title_norm",
-        "r_title_norm",
+        F.col("_fl.title_norm").alias("l_title_norm"),
+        F.col("_fr.title_norm").alias("r_title_norm"),
         # |A∩B| once; |A∪B| = |A|+|B|-|A∩B| from precomputed sizes —
         # halves the allocation of the 10^8-pair hot loop vs
         # intersect+union (memory bandwidth is the scaling ceiling).
-        S.jaccard_from_sizes(
-            F.col("l_token_hashes"),
-            F.col("r_token_hashes"),
-            F.col("l_n_tokens"),
-            F.col("r_n_tokens"),
-        ).alias("jaccard"),
-        S.levenshtein_sim(F.col("l_title_norm"), F.col("r_title_norm")).alias("lev_sim"),
-        S.relative_closeness(F.col("l_price"), F.col("r_price")).alias("price_sim"),
-        S.eq_flag(F.col("l_brand"), F.col("r_brand")).alias("brand_eq"),
+        gate_expr.alias("jaccard"),
+        S.levenshtein_sim(
+            F.col("_fl.title_norm"), F.col("_fr.title_norm")
+        ).alias("lev_sim"),
+        S.relative_closeness(F.col("_fl.price"), F.col("_fr.price")).alias("price_sim"),
+        S.eq_flag(F.col("_fl.brand"), F.col("_fr.brand")).alias("brand_eq"),
     )
     if vector_fetch == "unpivot":
         # Single-exchange variant: unpivot survivors to (pair, side, rid)
@@ -224,11 +226,20 @@ def pair_features(
             _side(1, "tfidf_val").alias("r_tfidf_val"),
         )
     else:
-        vec_l = attrs.select([F.col(c).alias(f"l_{c}") for c in vec_cols])
-        vec_r = attrs.select([F.col(c).alias(f"r_{c}") for c in vec_cols])
+        # Same shared-subtree trick for the survivor vector fetch: one
+        # broadcast build of the vector table, probed from both sides.
+        vec = attrs.select(*vec_cols)
+        vl, vr = vec.alias("_vl"), vec.alias("_vr")
         full = (
-            cheap.join(vec_l, cheap.id_l == vec_l.l_record_id, "left")
-            .join(vec_r, cheap.id_r == vec_r.r_record_id, "left")
+            cheap.join(vl, cheap.id_l == F.col("_vl.record_id"), "left")
+            .join(vr, cheap.id_r == F.col("_vr.record_id"), "left")
+            .select(
+                cheap["*"],
+                F.col("_vl.tfidf_idx").alias("l_tfidf_idx"),
+                F.col("_vl.tfidf_val").alias("l_tfidf_val"),
+                F.col("_vr.tfidf_idx").alias("r_tfidf_idx"),
+                F.col("_vr.tfidf_val").alias("r_tfidf_val"),
+            )
         )
     if cosine_impl == "jvm":
         return full.select(

@@ -51,20 +51,23 @@ def confusion(labeled_preds: DataFrame, pred_col: str = "pred", label_col: str =
 
 def cluster_predictions(labeled_ids: DataFrame, clusters: DataFrame) -> DataFrame:
     """labeled_ids(id_l, id_r, label) x clusters(record_id, cluster_id) ->
-    (id_l, id_r, label, pred) with pred = same-cluster."""
-    cl = clusters.select(
-        F.col("record_id").alias("id_l"), F.col("cluster_id").alias("c_l")
-    )
-    cr = clusters.select(
-        F.col("record_id").alias("id_r"), F.col("cluster_id").alias("c_r")
-    )
-    out = labeled_ids.join(cl, "id_l", "left").join(cr, "id_r", "left")
+    (id_l, id_r, label, pred) with pred = same-cluster.
+
+    Round 6: both sides fetch from the SAME unaliased clusters subtree
+    (alias after selection) so runtime exchange reuse builds the broadcast
+    once — the per-side aliased selects defeated reuse (see
+    features.pair_features for the measured rationale)."""
+    cl = clusters.alias("_cl")
+    cr = clusters.alias("_cr")
+    out = labeled_ids.join(
+        cl, labeled_ids.id_l == F.col("_cl.record_id"), "left"
+    ).join(cr, labeled_ids.id_r == F.col("_cr.record_id"), "left")
     return out.withColumn(
         "pred",
         (
-            F.col("c_l").isNotNull()
-            & F.col("c_r").isNotNull()
-            & (F.col("c_l") == F.col("c_r"))
+            F.col("_cl.cluster_id").isNotNull()
+            & F.col("_cr.cluster_id").isNotNull()
+            & (F.col("_cl.cluster_id") == F.col("_cr.cluster_id"))
         ).cast("int"),
     ).select("id_l", "id_r", "label", "pred")
 
@@ -72,15 +75,15 @@ def cluster_predictions(labeled_ids: DataFrame, clusters: DataFrame) -> DataFram
 def labeled_pairs_to_ids(labeled_urls: DataFrame, offers: DataFrame) -> DataFrame:
     """(url_l, url_r, label) -> (id_l, id_r, label) via the offers url->id map.
     Pairs whose urls were filtered out of offers (lang gate) are dropped."""
+    # Shared subtree for both url fetches (one broadcast build, see
+    # cluster_predictions / features.pair_features).
     ids = offers.select("url", "record_id")
-    out = (
-        labeled_urls.join(ids.withColumnRenamed("url", "url_l"), "url_l")
-        .withColumnRenamed("record_id", "_idl")
-        .join(ids.withColumnRenamed("url", "url_r"), "url_r")
-        .withColumnRenamed("record_id", "_idr")
+    il, ir = ids.alias("_il"), ids.alias("_ir")
+    out = labeled_urls.join(il, labeled_urls.url_l == F.col("_il.url")).join(
+        ir, labeled_urls.url_r == F.col("_ir.url")
     )
     return out.select(
-        F.least("_idl", "_idr").alias("id_l"),
-        F.greatest("_idl", "_idr").alias("id_r"),
+        F.least(F.col("_il.record_id"), F.col("_ir.record_id")).alias("id_l"),
+        F.greatest(F.col("_il.record_id"), F.col("_ir.record_id")).alias("id_r"),
         F.col("label").cast("int").alias("label"),
     ).dropDuplicates(["id_l", "id_r"])

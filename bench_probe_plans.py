@@ -75,7 +75,7 @@ attrs = pipe.stage_attrs(offers)
 pairs = pipe.stage_pairs(offers)
 n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 feats = FE.pair_features(
-    pairs.select("id_l", "id_r").repartition(n_part),
+    pairs.select("id_l", "id_r").repartition(n_part, "id_l", "id_r"),
     attrs,
     gate_jaccard=cfg.scoring.gate_jaccard,
 )

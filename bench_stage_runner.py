@@ -271,8 +271,9 @@ def main() -> int:
 
     elif args.stage == "curate":
         # Composed corpus-curation funnel (plans/curate.py) at ER-corpus
-        # scale: one map-side signal projection (lang/quality/dup-fraction),
-        # the top-gram explode+agg, broadcast decontamination (benchmark =
+        # scale: one map-side signal projection (lang/quality/dup-fraction
+        # plus the top-gram fraction as the sorted-hashed-gram run-fold
+        # expression — zero shuffle), broadcast decontamination (benchmark =
         # every 97th record), the md5-keyed keeper window, deterministic
         # sampling, and the one-groupBy retention report as the action.
         # min_quality relaxed to 0.5: product titles are short, and a

@@ -79,8 +79,11 @@ def stopword_ratio(tokens_col: Column, lang: str = "en") -> Column:
 
 
 def mean_word_len(tokens_col: Column) -> Column:
+    # bigint zero (ADVICE r5): an int accumulator would raise an ANSI
+    # overflow on a document whose total token chars exceed 2^31; the
+    # widened fold produces identical values for every in-range input.
     total = F.aggregate(
-        tokens_col, F.lit(0), lambda acc, t: acc + F.length(t)
+        tokens_col, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
     return F.when(
         F.size(tokens_col) > 0, total.cast("double") / F.size(tokens_col)
@@ -258,7 +261,13 @@ def lcg_bucket(id_col: Column, buckets: int = 1000) -> Column:
     modular congruence ((a*c + b) mod n == ((a mod n)*c + b) mod n) yields
     the exact same bucket as the direct `(id*1103515245 + 12345) % buckets`
     while keeping the product under ~buckets*2^31 — a raw xxhash64 id would
-    overflow the long multiply under ANSI mode."""
+    overflow the long multiply under ANSI mode.
+
+    Cross-engine caveat (ADVICE r5): the DuckDB oracles mirror this with
+    sign-following `%`, which matches Spark's pmod only for NON-NEGATIVE
+    ids; every in-tree id column fed here is non-negative by construction
+    (sequential doc ids). A signed (e.g. raw xxhash64) id would split the
+    sample across engines — pmod-mirror the oracle before feeding one."""
     folded = F.pmod(id_col.cast("long"), F.lit(buckets))
     return F.pmod(folded * F.lit(1103515245) + F.lit(12345), F.lit(buckets))
 

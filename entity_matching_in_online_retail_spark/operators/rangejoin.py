@@ -52,6 +52,15 @@ def interval_join(
     operators). Rows with null bounds/values never match (SQL BETWEEN
     semantics). Any positive bin_width is correct; widths >= the widest
     interval bound the interval-side explode factor at 2.
+
+    Failure mode (ADVICE r5): the per-row explode emits
+    (hi-lo)/bin_width + 1 bins, UNBOUNDED by this operator — one
+    extreme-width interval (or a bin_width orders of magnitude below the
+    typical interval width) generates millions of bin rows in a single
+    task and can hit Spark's array-size limit or OOM the task. Size
+    bin_width from the interval-width distribution (~= a high percentile
+    of (hi-lo)); if the width distribution is heavy-tailed, split the
+    outlier intervals first or route them through a theta join.
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")

@@ -154,6 +154,13 @@ def _labeled(
                 .where(F.col("n_shared") >= cfg.min_shared)
                 .select(F.col(id_c), F.lit(True).alias("_cont"))
             )
+        # Round-6 note: a regime-aware broadcast hint on `hits` (removing
+        # the SortMergeJoin + doc-stream exchange this join plans to, same
+        # pathology as the tf-idf vector join) was implemented and
+        # measured-REJECTED at sf0.1: interleaved fresh-JVM A/B was a wash
+        # leaning negative (cold 10.3/13.1s vs 11.4/12.9s; warm 2.4-2.9 vs
+        # 2.8-3.3) — the 10k-doc exchange is cheaper than the broadcast
+        # build of the aggregated hit set. The SMJ stays.
         base = base.join(hits, id_c, "left")
     else:
         base = base.withColumn("_cont", F.lit(None).cast("boolean"))
